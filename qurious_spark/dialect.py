@@ -1,0 +1,296 @@
+"""SQL dialect shim.
+
+The reference accepts a PostgreSQL-ish dialect with a few constructs vanilla
+Spark SQL lacks (SURVEY.md §7.1):
+
+- table functions in FROM: ``read_csv('p', delimiter=>'|')``, ``read_json``,
+  ``read_parquet`` (reference: qurious/src/planner/sql.rs:751-774,
+  session.rs:169-192) — rewritten here to registered temp views;
+- ``COPY <table> FROM '<file>' (FORMAT CSV, DELIMITER '|', HEADER)``
+  (reference: qurious/src/planner/sql.rs:324-375);
+- DDL/DML against managed in-memory tables (CREATE/DROP/INSERT/DELETE/UPDATE,
+  reference: session.rs:128-151, 217-246) — parsed here, executed by
+  ``Session``;
+- trailing commas in CREATE TABLE column lists
+  (reference fixture: tests/tpch/create_tables.slt:10 ends ``s_rev VARCHAR,)``).
+
+Spark 4 natively supports ``expr::TYPE`` casts, typed literals
+(``DATE '1998-09-02'``), INTERVAL arithmetic, EXTRACT, and Kleene AND/OR, so
+none of those need rewriting.
+
+This is a deliberately small regex-based pre-parser, not a SQL parser: every
+statement it does not recognize is passed through to Spark SQL untouched.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DdlDmlStatement:
+    kind: str  # create_table | drop_table | insert | delete | update | copy_from
+    table: str = ""
+    if_exists: bool = False
+    if_not_exists: bool = False
+    columns: list[tuple[str, str, object]] | None = None  # (name, spark_type, default)
+    columns_list: list[str] | None = None  # INSERT (col, ...) subset
+    query: str = ""
+    predicate: str | None = None
+    assignments: dict[str, str] = field(default_factory=dict)
+    path: str = ""
+    options: dict[str, object] = field(default_factory=dict)
+
+
+# SQL type -> Spark type, per the reference mapping
+# (qurious/src/planner/sql.rs:1439-1477 sql_to_arrow_data_type; SURVEY.md §1.2).
+_TYPE_MAP = {
+    "BOOLEAN": "boolean",
+    "BOOL": "boolean",
+    "SMALLINT": "smallint",
+    "INT": "bigint",  # reference maps INT/INTEGER to Int64 (sql.rs:1441)
+    "INTEGER": "bigint",
+    "BIGINT": "bigint",
+    "FLOAT": "double",  # reference maps FLOAT to Float64 (sql.rs:1443)
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "TEXT": "string",
+    "STRING": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+}
+
+
+def map_sql_type(sql_type: str) -> str:
+    t = sql_type.strip().upper()
+    m = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t == "DECIMAL":
+        return "decimal(38,10)"  # reference default (sql.rs:1451-1475)
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    return sql_type.lower()
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(\([^)]*\))?\s*(VALUES\s*.*|SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
+    """Recognize DDL/DML statements the Session executes itself; return None
+    for plain queries (handed to Spark SQL)."""
+    m = _COPY_RE.match(text)
+    if m:
+        opts: dict[str, object] = {}
+        for part in re.split(r",", m.group(3) or ""):
+            part = part.strip()
+            if not part:
+                continue
+            kv = re.match(r"(\w+)\s*(?:\s+'?([^']*)'?)?$", part)
+            if kv:
+                key = kv.group(1).lower()
+                val = kv.group(2)
+                if key == "delimiter":
+                    opts["delimiter"] = val
+                elif key == "header":
+                    opts["header"] = val is None or val.lower() in ("true", "on")
+                elif key == "format":
+                    opts["format"] = (val or "csv").lower()
+        return DdlDmlStatement(kind="copy_from", table=m.group(1), path=m.group(2), options=opts)
+
+    m = _DROP_RE.match(text)
+    if m:
+        return DdlDmlStatement(kind="drop_table", table=m.group(2), if_exists=bool(m.group(1)))
+
+    m = _CREATE_RE.match(text)
+    if m:
+        rest = m.group(3).strip().rstrip(";").strip()
+        stmt = DdlDmlStatement(
+            kind="create_table", table=m.group(2), if_not_exists=bool(m.group(1))
+        )
+        as_match = re.match(r"^(?:\((.*)\)\s*)?AS\s+(SELECT.*|VALUES.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if as_match:
+            stmt.query = as_match.group(2)
+            return stmt
+        if rest.startswith("("):
+            body = rest[1:]
+            depth = 1
+            end = len(body)
+            for i, ch in enumerate(body):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            stmt.columns = _parse_column_defs(body[:end])
+            return stmt
+        if not rest:
+            stmt.columns = []
+            return stmt
+        return stmt
+
+    m = _INSERT_RE.match(text)
+    if m:
+        cols = None
+        if m.group(2):
+            cols = [c.strip() for c in m.group(2).strip("() \t\n").split(",") if c.strip()]
+        return DdlDmlStatement(
+            kind="insert",
+            table=m.group(1),
+            columns_list=cols,
+            query=m.group(3).rstrip().rstrip(";"),
+        )
+
+    m = _DELETE_RE.match(text)
+    if m:
+        return DdlDmlStatement(kind="delete", table=m.group(1), predicate=m.group(2))
+
+    m = _UPDATE_RE.match(text)
+    if m:
+        assignments: dict[str, str] = {}
+        for part in _split_top_level_commas(m.group(2)):
+            k, _, v = part.partition("=")
+            assignments[k.strip()] = v.strip()
+        return DdlDmlStatement(
+            kind="update", table=m.group(1), assignments=assignments, predicate=m.group(3)
+        )
+
+    return None
+
+
+def _parse_column_defs(body: str) -> list[tuple[str, str, object]]:
+    """Parse ``name TYPE [NOT NULL] [DEFAULT v]`` lists; tolerates the
+    reference's trailing comma (tests/tpch/create_tables.slt:10)."""
+    cols: list[tuple[str, str, object]] = []
+    for part in _split_top_level_commas(body):
+        part = part.strip()
+        if not part:
+            continue  # trailing comma tolerance
+        m = re.match(
+            r"(\w+)\s+(\w+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
+            r"(?:\s+NOT\s+NULL)?(?:\s+NULL)?(?:\s+DEFAULT\s+(.+))?$",
+            part,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse column definition: {part!r}")
+        default = None
+        if m.group(3) is not None:
+            raw = m.group(3).strip()
+            default = _parse_literal(raw)
+        cols.append((m.group(1), map_sql_type(m.group(2)), default))
+    return cols
+
+
+def _parse_literal(raw: str) -> object:
+    if raw.startswith("'") and raw.endswith("'"):
+        return raw[1:-1]
+    low = raw.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    return raw
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in s:
+        if ch == "'" :
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_READ_FN_RE = re.compile(
+    r"\b(read_csv|read_json|read_parquet)\s*\(\s*'([^']+)'\s*((?:,[^)]*)?)\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_table_functions(session, text: str) -> str:
+    """Rewrite ``FROM read_csv('p', opts)`` to a registered temp view name.
+
+    The reference resolves these at parse/registration time
+    (session.rs:169-192); we do the same: eagerly register a (lazy) reader
+    DataFrame as a temp view named after a hash of the path (the reference
+    derives table identity from a path hash too, table_relation.rs:41-45).
+    """
+    from qurious_spark.sources.readers import read_csv_like
+
+    def repl(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        path = m.group(2)
+        opt_str = m.group(3) or ""
+        options = _parse_read_options(opt_str)
+        view = "file_" + re.sub(r"\W", "_", path).strip("_")
+        if fn == "read_csv":
+            df = read_csv_like(
+                session.spark,
+                path,
+                delimiter=options.get("delimiter", ","),
+                header=options.get("has_header", options.get("header", True)),
+            )
+        elif fn == "read_json":
+            df = session.spark.read.json(path)
+        else:
+            df = session.spark.read.parquet(path)
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _READ_FN_RE.sub(repl, text)
+
+
+def _parse_read_options(opt_str: str) -> dict[str, object]:
+    options: dict[str, object] = {}
+    for part in opt_str.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"(\w+)\s*(?:=>|=)\s*(.+)$", part)
+        if m:
+            options[m.group(1).lower()] = _parse_literal(m.group(2).strip())
+    return options

@@ -1,0 +1,295 @@
+"""Session layer: the engine's primary entry point.
+
+Mirrors the reference's ``ExecuteSession`` (qurious/src/execution/session.rs:74-93)
+— parse, resolve tables, plan, execute — but Spark-first: we hand the
+(possibly dialect-rewritten) SQL to Spark's parser/Catalyst and only keep the
+pieces Spark does not give us for free:
+
+- a managed in-memory table catalog with INSERT / UPDATE / DELETE semantics
+  (reference: qurious/src/datasource/memory.rs:24-145, session.rs:128-151;
+  note the reference plans UPDATE but refuses to execute it — we implement it
+  correctly per SURVEY.md §7.4.6),
+- the dialect shim for ``read_csv/read_json/read_parquet`` table functions and
+  ``COPY ... FROM`` (reference: qurious/src/planner/sql.rs:751-774, 324-375),
+- an ``information_schema.tables`` view + SHOW TABLES parity
+  (reference: qurious/src/execution/information_schema.rs:12-46).
+
+Scale notes (100 TB): the session never collects to the driver; managed-table
+mutations build union/filter plans lazily and localCheckpoint() after a
+mutation-depth threshold so plan size stays bounded (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qurious_spark.dialect import (
+    DdlDmlStatement,
+    parse_ddl_dml,
+    rewrite_table_functions,
+)
+
+_lock = threading.Lock()
+
+DEFAULT_CATALOG = "qurious"  # reference: qurious/src/execution/config.rs:1-13
+DEFAULT_SCHEMA = "public"
+
+# Mutation depth after which a managed table is checkpointed so INSERT-as-union
+# chains don't grow the logical plan unboundedly (SURVEY.md §7.4.5).
+CHECKPOINT_EVERY = 16
+
+
+def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Defaults target local[$SPARK_GRAFT_CPUS] for tests while keeping every
+    setting cluster-appropriate: AQE on (runtime re-planning, skew-join
+    handling, partition coalescing), Arrow transfer on (pandas UDF hot path),
+    UTC session timezone (stable vs the DuckDB oracle).
+    """
+    with _lock:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            return active
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = master or f"local[{cpus}]"
+        return (
+            SparkSession.builder.appName(app_name)
+            .master(master)
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.default.parallelism", cpus)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            # testdata events.parquet carries timestamp[ns]; Spark has no nanos
+            # type, so read as long and convert in the plan (readers.py).
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .getOrCreate()
+        )
+
+
+class ManagedTable:
+    """An in-memory managed table: name -> DataFrame + per-column defaults.
+
+    Spark analogue of the reference's ``MemoryTable``
+    (qurious/src/datasource/memory.rs:24-28): holds current contents as a
+    DataFrame (lazy plan), supports insert (union with column alignment,
+    default fill, cast — reference qurious/src/planner/sql.rs:790-873),
+    delete (anti-filter) and update (masked projection — the plan shape the
+    reference builds at qurious/src/planner/sql.rs:377-432).
+    """
+
+    def __init__(self, name: str, df: DataFrame, defaults: dict[str, object] | None = None):
+        self.name = name
+        self.df = df
+        self.defaults = defaults or {}
+        self._mutations = 0
+
+    def _bump(self) -> None:
+        self._mutations += 1
+        if self._mutations % CHECKPOINT_EVERY == 0:
+            # Truncate the union/filter plan chain; eager=False keeps it lazy
+            # until next action but breaks lineage for planning purposes.
+            self.df = self.df.localCheckpoint(eager=True)
+
+    def insert_df(self, source: DataFrame, columns: list[str] | None = None) -> int:
+        """INSERT INTO .. [(cols)] SELECT/VALUES: align columns, fill
+        defaults, cast to target types, then union."""
+        target_schema = self.df.schema
+        n = source.count()
+        if columns:
+            if len(columns) != len(source.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(columns)} columns but source has {len(source.columns)}"
+                )
+            source = source.toDF(*columns)
+        else:
+            if len(source.columns) != len(target_schema):
+                raise ValueError(
+                    f"INSERT source has {len(source.columns)} columns, table {self.name} has {len(target_schema)}"
+                )
+            source = source.toDF(*[f.name for f in target_schema])
+        exprs = []
+        for field in target_schema:
+            if field.name in source.columns:
+                exprs.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            elif field.name in self.defaults:
+                exprs.append(F.lit(self.defaults[field.name]).cast(field.dataType).alias(field.name))
+            else:
+                exprs.append(F.lit(None).cast(field.dataType).alias(field.name))
+        aligned = source.select(*exprs)
+        self.df = self.df.unionByName(aligned)
+        self._bump()
+        return n
+
+    def delete_where(self, predicate: str | None) -> None:
+        if predicate is None:
+            self.df = self.df.limit(0)
+        else:
+            self.df = self.df.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        self._bump()
+
+    def update_set(self, assignments: dict[str, str], predicate: str | None) -> None:
+        cond = F.expr(predicate) if predicate else F.lit(True)
+        exprs = []
+        for field in self.df.schema:
+            if field.name in assignments:
+                new_val = F.expr(assignments[field.name]).cast(field.dataType)
+                exprs.append(F.when(cond, new_val).otherwise(F.col(field.name)).alias(field.name))
+            else:
+                exprs.append(F.col(field.name))
+        self.df = self.df.select(*exprs)
+        self._bump()
+
+
+class Session:
+    """Engine session: ``sql()`` / ``register_table()`` / ``register_udf()``.
+
+    The reference exposes three entry points (SURVEY.md §3): SQL text, a thin
+    DataFrame API, and programmatic plans. Here entry point A is ``sql()``
+    (dialect shim + Spark SQL); B and C are simply PySpark DataFrames, which
+    ``table()`` hands back.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self.tables: dict[str, ManagedTable] = {}
+
+    # ------------------------------------------------------------------ #
+    # catalog
+    # ------------------------------------------------------------------ #
+    def register_table(self, name: str, source: DataFrame | str, **options) -> None:
+        """Register a DataFrame or a file path (csv/json/parquet by suffix)."""
+        if isinstance(source, str):
+            from qurious_spark.sources.readers import read_auto
+
+            df = read_auto(self.spark, source, **options)
+        else:
+            df = source
+        self._put_table(name, ManagedTable(name, df))
+
+    def register_udf(self, name: str, fn, return_type) -> None:
+        """Register a vectorized scalar UDF (Arrow-backed pandas_udf — the
+        Spark analogue of the reference's Arrow-native UDF trait,
+        qurious/src/functions/mod.rs:10-21)."""
+        from pyspark.sql.functions import pandas_udf
+
+        self.spark.udf.register(name, pandas_udf(fn, return_type))
+
+    def table(self, name: str) -> DataFrame:
+        key = name.lower()
+        if key in self.tables:
+            return self.tables[key].df
+        return self.spark.table(name)
+
+    def _put_table(self, name: str, mt: ManagedTable) -> None:
+        key = name.lower()
+        self.tables[key] = mt
+        mt.df.createOrReplaceTempView(name)
+
+    def _drop_table(self, name: str, if_exists: bool) -> None:
+        key = name.lower()
+        if key not in self.tables:
+            if if_exists:
+                return
+            raise ValueError(f"table not found: {name}")
+        del self.tables[key]
+        self.spark.catalog.dropTempView(name)
+
+    # ------------------------------------------------------------------ #
+    # SQL entry point
+    # ------------------------------------------------------------------ #
+    def sql(self, text: str) -> DataFrame:
+        """Execute one SQL statement (reference dialect accepted)."""
+        stmt = parse_ddl_dml(text)
+        if stmt is not None:
+            return self._execute_ddl_dml(stmt)
+        rewritten = rewrite_table_functions(self, text)
+        if rewritten.strip().upper().startswith("SHOW TABLES"):
+            return self._show_tables()
+        return self.spark.sql(rewritten)
+
+    def _show_tables(self) -> DataFrame:
+        """SHOW TABLES parity: the reference rewrites it to a select over
+        information_schema.tables (session.rs:78-81)."""
+        rows = [
+            (DEFAULT_CATALOG, DEFAULT_SCHEMA, t.name, "BASE TABLE")
+            for t in self.tables.values()
+        ]
+        return self.spark.createDataFrame(
+            rows or [],
+            "table_catalog string, table_schema string, table_name string, table_type string",
+        )
+
+    def _execute_ddl_dml(self, stmt: DdlDmlStatement) -> DataFrame:
+        kind = stmt.kind
+        if kind == "create_table":
+            if stmt.table.lower() in self.tables:
+                if stmt.if_not_exists:
+                    return self._count_df(0)
+                raise ValueError(f"table already exists: {stmt.table}")
+            if stmt.query:  # CTAS
+                df = self.sql(stmt.query)
+            else:
+                schema_ddl = ", ".join(f"{c} {t}" for c, t, _ in stmt.columns)
+                df = self.spark.createDataFrame([], schema_ddl)
+            defaults = {c: d for c, _, d in (stmt.columns or []) if d is not None}
+            self._put_table(stmt.table, ManagedTable(stmt.table, df, defaults))
+            return self._count_df(0)
+        if kind == "drop_table":
+            self._drop_table(stmt.table, stmt.if_exists)
+            return self._count_df(0)
+        if kind == "insert":
+            mt = self._get_managed(stmt.table)
+            if stmt.query.strip().upper().startswith("VALUES"):
+                source = self.spark.sql(f"SELECT * FROM ({stmt.query})")
+            else:
+                source = self.sql(stmt.query)
+            n = mt.insert_df(source, stmt.columns_list)
+            self._put_table(mt.name, mt)
+            return self._count_df(n)
+        if kind == "delete":
+            mt = self._get_managed(stmt.table)
+            mt.delete_where(stmt.predicate)
+            self._put_table(mt.name, mt)
+            return self._count_df(0)
+        if kind == "update":
+            mt = self._get_managed(stmt.table)
+            mt.update_set(stmt.assignments, stmt.predicate)
+            self._put_table(mt.name, mt)
+            return self._count_df(0)
+        if kind == "copy_from":
+            from qurious_spark.sources.readers import read_csv_like
+
+            mt = self._get_managed(stmt.table)
+            src = read_csv_like(
+                self.spark,
+                stmt.path,
+                delimiter=stmt.options.get("delimiter", ","),
+                header=stmt.options.get("header", False),
+                schema=mt.df.schema,
+            )
+            n = mt.insert_df(src)
+            self._put_table(mt.name, mt)
+            return self._count_df(n)
+        raise ValueError(f"unsupported statement kind: {kind}")
+
+    def _get_managed(self, name: str) -> ManagedTable:
+        key = name.lower()
+        if key not in self.tables:
+            raise ValueError(f"not a managed table: {name}")
+        return self.tables[key]
+
+    def _count_df(self, n: int) -> DataFrame:
+        """DML result shape: single `count` column (reference:
+        qurious/src/utils/batch.rs:13 make_count_batch)."""
+        return self.spark.createDataFrame([(n,)], "count bigint")
