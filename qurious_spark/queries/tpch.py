@@ -1,0 +1,289 @@
+"""TPC-H Q1-Q12, adapted to the driver testdata schema.
+
+The reference's correctness bar is TPC-H Q1-Q12 at sf0.01
+(/root/reference/qurious/tests/tpch/q1.slt..q12.slt). The driver's testdata
+(TESTDATA.md) is TPC-H-ish but reduced: no partsupp table; lineitem lacks
+commitdate/receiptdate/shipmode/shipinstruct; customer lacks phone/address;
+dates are stored as TIMESTAMP. Queries below keep each original query's
+operator shape (the thing the reference tests) and substitute available
+columns where the original ones don't exist; adaptations are noted per query.
+
+All are ANSI SQL shared verbatim with the DuckDB oracle. Double aggregates
+are ROUNDed on both sides; ORDER BY ... LIMIT always carries a unique
+tiebreaker so top-n is deterministic.
+"""
+
+from __future__ import annotations
+
+from qurious_spark.queries import sql_query
+
+# Q1 — pricing summary report (reference tests/tpch/q1.slt). Unmodified shape.
+sql_query(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+# Q2 — minimum-cost supplier (reference q2.slt). Adapted: no partsupp, so the
+# part-supplier link and "supply cost" come from lineitem unit prices; keeps
+# the correlated-scalar-subquery-over-MIN shape that Q2 exists to test.
+sql_query(
+    "tpch_q2",
+    """
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           ROUND(l.l_extendedprice / l.l_quantity, 4) AS unit_cost
+    FROM part p, lineitem l, supplier s
+    WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      AND p.p_type = 'PROMO' AND p.p_size < 15
+      AND l.l_extendedprice / l.l_quantity = (
+          SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+
+# Q3 — shipping priority (reference q3.slt). Adapted: o_shippriority column
+# absent, dropped from the select list; top-10 with unique tiebreaker.
+sql_query(
+    "tpch_q3",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+
+# Q4 — order priority checking (reference q4.slt). Adapted: the original
+# EXISTS predicate l_commitdate < l_receiptdate is unavailable; "late line"
+# is l_shipdate > o_orderdate + 60 days. Keeps the EXISTS→semi-join shape.
+sql_query(
+    "tpch_q4",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    duck_sql="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+
+# Q5 — local supplier volume (reference q5.slt). Unmodified shape (6-way join).
+sql_query(
+    "tpch_q5",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey
+      AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+
+# Q6 — forecasting revenue change (reference q6.slt). Unmodified shape.
+sql_query(
+    "tpch_q6",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# Q7 — volume shipping between two nations (reference q7.slt). Unmodified
+# shape (nation self-join x2 + year extraction).
+sql_query(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+        WHERE s.s_suppkey = l.l_suppkey
+          AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_nationkey = n1.n_nationkey
+          AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# Q8 — national market share (reference q8.slt). Adapted: part filter uses
+# the testdata's single-word p_type vocabulary. Keeps the CASE-inside-
+# aggregate-ratio shape.
+sql_query(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n1.n_name AS nation
+        FROM part p, supplier s, lineitem l, orders o, customer c, nation n1, nation n2, region r
+        WHERE p.p_partkey = l.l_partkey
+          AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey
+          AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r.r_regionkey
+          AND s.s_nationkey = n1.n_nationkey
+          AND r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+# Q9 — product type profit (reference q9.slt). Adapted: no ps_supplycost, so
+# profit is revenue minus a quantity-proportional cost proxy. Keeps the
+# LIKE-filtered part join + nation/year grouping shape.
+sql_query(
+    "tpch_q9",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) - 50.0 * l.l_quantity AS amount
+        FROM part p, supplier s, lineitem l, orders o, nation n
+        WHERE s.s_suppkey = l.l_suppkey
+          AND p.p_partkey = l.l_partkey
+          AND o.o_orderkey = l.l_orderkey
+          AND s.s_nationkey = n.n_nationkey
+          AND p.p_name LIKE '%green%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+# Q10 — returned item reporting (reference q10.slt). Adapted: c_address /
+# c_phone / c_comment absent, dropped from select list; top-20 tiebroken.
+sql_query(
+    "tpch_q10",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+      AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+
+# Q11 — important stock identification (reference q11.slt). Adapted: no
+# partsupp, so "value" is lineitem extendedprice*quantity per part. Keeps the
+# HAVING-vs-global-scalar-subquery shape.
+sql_query(
+    "tpch_q11",
+    """
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) > (
+        SELECT SUM(l_extendedprice * l_quantity) * 0.001 FROM lineitem
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+
+# Q12 — shipping modes and order priority (reference q12.slt). Adapted: no
+# l_shipmode/l_receiptdate; buckets lines by shipping delay instead, keeping
+# the CASE-sum-over-join shape.
+sql_query(
+    "tpch_q12",
+    """
+    SELECT
+      CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+      SUM(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o, lineitem l
+    WHERE o.o_orderkey = l.l_orderkey
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    duck_sql="""
+    SELECT
+      CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+      SUM(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o, lineitem l
+    WHERE o.o_orderkey = l.l_orderkey
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)

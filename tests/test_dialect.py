@@ -1,0 +1,59 @@
+"""Unit tests for the SQL dialect shim (no Spark needed)."""
+
+from qurious_spark.dialect import map_sql_type, parse_ddl_dml
+
+
+def test_create_table_basic():
+    s = parse_ddl_dml("CREATE TABLE t (v1 INT, v2 VARCHAR NOT NULL, v3 DOUBLE DEFAULT 1.5)")
+    assert s.kind == "create_table"
+    assert s.table == "t"
+    assert s.columns == [("v1", "bigint", None), ("v2", "string", None), ("v3", "double", 1.5)]
+
+
+def test_create_table_trailing_comma():
+    # reference fixture: tests/tpch/create_tables.slt:10 ends "s_rev VARCHAR,)"
+    s = parse_ddl_dml("CREATE TABLE supplier (s_suppkey BIGINT, s_rev VARCHAR,)")
+    assert [c[0] for c in s.columns] == ["s_suppkey", "s_rev"]
+
+
+def test_create_table_as_select():
+    s = parse_ddl_dml("CREATE TABLE t2 AS SELECT * FROM t1")
+    assert s.kind == "create_table" and s.query.startswith("SELECT")
+
+
+def test_create_if_not_exists():
+    s = parse_ddl_dml("CREATE TABLE IF NOT EXISTS t (a INT)")
+    assert s.if_not_exists
+
+
+def test_decimal_mapping():
+    assert map_sql_type("DECIMAL(15,2)") == "decimal(15,2)"
+    assert map_sql_type("DECIMAL") == "decimal(38,10)"
+    assert map_sql_type("INT") == "bigint"  # reference maps INT→Int64 (sql.rs:1441)
+    assert map_sql_type("FLOAT") == "double"
+
+
+def test_insert_variants():
+    s = parse_ddl_dml("INSERT INTO t VALUES (1, 2), (3, 4)")
+    assert s.kind == "insert" and s.columns_list is None
+    s = parse_ddl_dml("INSERT INTO t (a, b) SELECT x, y FROM u")
+    assert s.columns_list == ["a", "b"] and s.query.startswith("SELECT")
+
+
+def test_delete_update():
+    s = parse_ddl_dml("DELETE FROM t WHERE a > 1")
+    assert s.kind == "delete" and s.predicate == "a > 1"
+    s = parse_ddl_dml("DELETE FROM t")
+    assert s.predicate is None
+    s = parse_ddl_dml("UPDATE t SET a = a + 1, b = 'x' WHERE c IS NULL")
+    assert s.assignments == {"a": "a + 1", "b": "'x'"} and s.predicate == "c IS NULL"
+
+
+def test_copy_from():
+    s = parse_ddl_dml("COPY lineitem FROM '/tmp/lineitem.tbl' (DELIMITER '|')")
+    assert s.kind == "copy_from" and s.options["delimiter"] == "|"
+
+
+def test_plain_select_passthrough():
+    assert parse_ddl_dml("SELECT * FROM t") is None
+    assert parse_ddl_dml("WITH x AS (SELECT 1) SELECT * FROM x") is None

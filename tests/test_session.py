@@ -1,0 +1,149 @@
+"""End-to-end Session tests: DDL/DML, dialect shim, managed tables.
+
+Mirrors the reference's session-level SQL tests
+(qurious/src/execution/session.rs:425-503) and the slt corpus themes
+(create/insert/delete/group_by/join — SURVEY.md §5).
+"""
+
+import os
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def fresh(session):
+    """Drop any tables a test creates (fresh-session-per-file analogue)."""
+    created = []
+    orig = session.sql
+
+    def tracking_sql(text):
+        r = orig(text)
+        stripped = text.strip().upper()
+        if stripped.startswith("CREATE TABLE"):
+            import re
+
+            m = re.match(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", text.strip(), re.I)
+            if m:
+                created.append(m.group(1))
+        return r
+
+    session.sql = tracking_sql
+    yield session
+    session.sql = orig
+    for t in created:
+        try:
+            session.sql(f"DROP TABLE IF EXISTS {t}")
+        except Exception:
+            pass
+
+
+def test_create_insert_select(fresh):
+    fresh.sql("CREATE TABLE t_cis (v1 INT, v2 INT)")
+    fresh.sql("INSERT INTO t_cis VALUES (1, 1), (2, 1), (3, 2)")
+    rows = fresh.sql("SELECT v2, count(*) AS c FROM t_cis GROUP BY v2 ORDER BY v2").collect()
+    assert [(r.v2, r.c) for r in rows] == [(1, 2), (2, 1)]
+
+
+def test_insert_column_subset_defaults(fresh):
+    # reference: tests/sql/insert.slt column-subset/default/NULL paths
+    fresh.sql("CREATE TABLE t_def (a INT, b INT DEFAULT 42, c VARCHAR)")
+    fresh.sql("INSERT INTO t_def (a) VALUES (1)")
+    fresh.sql("INSERT INTO t_def (a, c) VALUES (2, 'x')")
+    rows = fresh.sql("SELECT a, b, c FROM t_def ORDER BY a").collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [(1, 42, None), (2, 42, "x")]
+
+
+def test_insert_select_from(fresh):
+    fresh.sql("CREATE TABLE t_src (a INT)")
+    fresh.sql("INSERT INTO t_src VALUES (1), (2)")
+    fresh.sql("CREATE TABLE t_dst (a INT)")
+    fresh.sql("INSERT INTO t_dst SELECT a * 10 FROM t_src")
+    assert fresh.sql("SELECT SUM(a) AS s FROM t_dst").collect()[0].s == 30
+
+
+def test_delete(fresh):
+    fresh.sql("CREATE TABLE t_del (v INT)")
+    fresh.sql("INSERT INTO t_del VALUES (1), (2), (3)")
+    fresh.sql("DELETE FROM t_del WHERE v >= 2")
+    assert [r.v for r in fresh.sql("SELECT v FROM t_del").collect()] == [1]
+
+
+def test_update(fresh):
+    # The reference plans UPDATE but cannot execute it (session.rs:130-134);
+    # we implement it (SURVEY.md §7.4.6).
+    fresh.sql("CREATE TABLE t_upd (k INT, v INT)")
+    fresh.sql("INSERT INTO t_upd VALUES (1, 10), (2, 20)")
+    fresh.sql("UPDATE t_upd SET v = v + 5 WHERE k = 2")
+    rows = fresh.sql("SELECT k, v FROM t_upd ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 10), (2, 25)]
+
+
+def test_ctas(fresh):
+    fresh.sql("CREATE TABLE t_ctas AS SELECT r_regionkey, r_name FROM region")
+    assert fresh.sql("SELECT count(*) AS c FROM t_ctas").collect()[0].c == 5
+
+
+def test_read_csv_table_function(fresh):
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "f.csv")
+    with open(p, "w") as fh:
+        fh.write("id,name\n1,alice\n2,bob\n")
+    rows = fresh.sql(f"SELECT id, name FROM read_csv('{p}') ORDER BY id").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "alice"), (2, "bob")]
+
+
+def test_copy_from_tbl(fresh):
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "x.tbl")
+    with open(p, "w") as fh:
+        fh.write("1|a\n2|b\n")
+    fresh.sql("CREATE TABLE t_copy (k INT, s VARCHAR)")
+    n = fresh.sql(f"COPY t_copy FROM '{p}' (DELIMITER '|')").collect()[0][0]
+    assert n == 2
+    assert fresh.sql("SELECT count(*) AS c FROM t_copy").collect()[0].c == 2
+
+
+def test_show_tables(fresh):
+    fresh.sql("CREATE TABLE t_show (a INT)")
+    names = [r.table_name for r in fresh.sql("SHOW TABLES").collect()]
+    assert "t_show" in names
+
+
+def test_errors(fresh):
+    with pytest.raises(ValueError):
+        fresh.sql("DROP TABLE never_existed")
+    fresh.sql("CREATE TABLE t_err (a INT)")
+    with pytest.raises(ValueError):
+        fresh.sql("CREATE TABLE t_err (b INT)")
+    with pytest.raises(ValueError):
+        fresh.sql("INSERT INTO region VALUES (1, 'x')")  # not managed
+
+
+def test_kleene_and_null_semantics(session):
+    # AND/OR are Kleene 3-valued (reference: binary.rs and_kleene/or_kleene)
+    row = session.sql(
+        "SELECT (NULL AND FALSE) AS a, (NULL AND TRUE) AS b, (NULL OR TRUE) AS c, (NULL OR FALSE) AS d"
+    ).collect()[0]
+    assert row.a is False and row.b is None and row.c is True and row.d is None
+
+
+def test_distinct_honored(session):
+    # reference silently ignores SELECT DISTINCT (SURVEY.md §2.4) — we honor it
+    n = session.sql("SELECT DISTINCT l_returnflag FROM lineitem").count()
+    assert n == 3
+
+
+def test_dataframe_fluent_api(spark, session):
+    # entry point B parity (reference: qurious/src/dataframe/mod.rs:15-59)
+    from pyspark.sql import functions as F
+
+    df = (
+        session.table("lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("c"))
+        .orderBy("l_returnflag")
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and all(r.c > 0 for r in rows)
