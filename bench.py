@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...}, "sf": ...}
+
+The per-query time is wall-clock for plan + execute + collect of the final
+(small, aggregated) result. A parquet-scan warmup runs first so JVM/codegen
+startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "agg_distinct",
+    "window_row_number",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from qurious_spark.session import get_spark
+    import qurious_spark.queries as q
+
+    q.load_all()
+    spark = get_spark()
+
+    # warmup: touch the big tables so file listing + codegen init don't land
+    # in the first timed query
+    q.ensure_views(spark, sf_dir)
+    spark.sql("SELECT count(*) FROM lineitem").collect()
+    spark.sql("SELECT count(*) FROM orders").collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in q.REGISTRY:
+            continue
+        t0 = time.time()
+        df = q.REGISTRY[name](spark, sf_dir)
+        rows = df.collect()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expression builders — JVM-side, whole-stage
+codegen, no Python in the hot path. Designed for the ``documents`` table
+(doc_id, text, lang, source, n_chars) but applicable to any string column.
+
+These are beyond the reference's surface (it has no string functions at all —
+SURVEY.md §2.3 "absent scalar-function surface"); they're first-class here
+because a 100 TB Spark corpus pipeline needs them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A "BPE-ish" pre-tokenizer: letter runs, digit runs, single punctuation —
+# the shape GPT-2-style byte-pair pre-splitting produces.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic so the DuckDB oracle can
+# replicate the computation exactly.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "you", "zai", "ta"),
+}
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim — canonical text form."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0)).cast("bigint")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    (The rolling-hash variant is ``minhash``'s shingle hash in
+    operators/dedup.py; md5-of-normalized is the whole-document fingerprint.)
+    """
+    return F.md5(normalize(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("bigint")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation (0.0 when empty)."""
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col: Column) -> Column:
+    n_upper = F.length(col) - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    return F.when(F.length(col) > 0, n_upper / F.length(col)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards moderate length,
+    penalizes punctuation soup and ALL-CAPS. Deterministic arithmetic only
+    (oracle-replicable)."""
+    length_term = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    upper_term = F.lit(1.0) - F.least(uppercase_ratio(col) * 4.0, F.lit(1.0))
+    return F.round((length_term + punct_term + upper_term) / 3.0, 6)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    toks = tokens(col)
+
+    def matcher(sw: tuple[str, ...]):
+        return lambda t: t.isin(*sw)
+
+    return {
+        lang: F.size(F.filter(toks, matcher(sw))).cast("bigint")
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the language with the most stopword hits; ties and zero-hit texts
+    resolve to 'und' (undetermined) / lexicographically-first winner, fully
+    deterministic."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[F.struct(score.alias("n"), F.lit(lang).alias("lang")) for lang, score in sorted(scores.items())]
+    )
+    # max by (n, then lexicographically-last lang loses): sort desc by n, asc by lang
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["n"] > b["n"], -1)
+        .when(a["n"] < b["n"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Five families, each designed Spark-first for 100 TB:
+
+- **exact**: hash-groupBy on normalized text (one shuffle on a short digest).
+- **n-gram Jaccard**: token-shingle sets, exact pairwise similarity via a
+  shingle-inverted-index self-join (shuffle on shingle; hot shingles can be
+  dropped via ``max_shingle_freq`` — standard prefix-filtering trade-off).
+- **MinHash + LSH**: per-document signatures computed with ARRAY functions
+  (``transform``/``array_min``) — ZERO shuffle for signature computation, no
+  explode; banding then buckets candidates with one join on band keys.
+- **SimHash**: 32-bit fingerprints, again pure array expressions; near-dup =
+  small Hamming distance.
+- **embedding cosine**: see qurious_spark.operators.vector.
+
+All hash arithmetic is md5-based and replicated exactly by the DuckDB oracle
+(see queries/dedup.py); no engine-private hash functions in checked paths.
+``pyspark.ml.feature.MinHashLSH`` is exposed separately as ``minhash_lsh_ml``
+(the scale path with Spark-native hashing; rows-only check).
+
+The reference engine has no dedup surface (it is a pure SQL engine); these
+operators are the beyond-reference scope required for training-data work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters — shared with the DuckDB oracle generator.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+NUM_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = NUM_HASHES // LSH_BANDS
+
+
+def _hash_params() -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine minhash family."""
+    return [
+        ((i * 2_654_435_761 + 105_943) % MINHASH_P, (i * 40_503 + 7) % MINHASH_P)
+        for i in range(NUM_HASHES)
+    ]
+
+
+HASH_PARAMS = _hash_params()
+
+
+def normalize(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize(col), " ")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (array<string>); whole-document shingle for
+    texts shorter than k tokens. Pure array expressions — no explode."""
+    toks = tokens(col)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, windows).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def md5_int(col: Column) -> Column:
+    """First 15 hex digits of md5 as a bigint (60 bits) — the engine-neutral
+    string hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(shingle_col: Column) -> list[Column]:
+    """NUM_HASHES min-hash values, each an ``array_min`` over transformed
+    shingles. No shuffle, no explode; one projection."""
+    base = F.transform(shingle_col, lambda s: md5_int(s) % MINHASH_P)
+
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    return [F.array_min(F.transform(base, affine(a, b))) for a, b in HASH_PARAMS]
+
+
+def simhash32(shingle_col: Column) -> Column:
+    """32-bit SimHash over distinct shingles: per-bit +/-1 vote, bit set when
+    the vote is positive. Pure array aggregation."""
+    hs = F.transform(shingle_col, lambda s: md5_int(s))
+
+    def voter(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    fp = F.lit(0).cast("bigint")
+    for j in range(32):
+        vote = F.aggregate(hs, F.lit(0).cast("bigint"), voter(j))
+        fp = fp + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return fp
+
+
+# --------------------------------------------------------------------------- #
+# Pipeline operators (DataFrame -> DataFrame)
+# --------------------------------------------------------------------------- #
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact normalized text. Shuffles on the
+    md5 digest (fixed 32 bytes/row), not the full text — at 100 TB the
+    shuffle payload is ids + digests only."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle inverted index.
+
+    Scale path: the self-join shuffles on shingle strings; pass
+    ``max_shingle_freq`` to drop shingles appearing in more than N docs
+    (prefix filtering) — makes the join skew-proof at corpus scale at the cost
+    of missing pairs that ONLY share ultra-common shingles.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Document minhash signatures as columns sig_0..sig_{NUM_HASHES-1}."""
+    sh = shingles(F.col(text_col), k)
+    sigs = minhash_signature(sh)
+    return df.select(
+        F.col(id_col), *[s.alias(f"sig_{i}") for i, s in enumerate(sigs)]
+    )
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: candidate pairs agreeing on ALL rows of at least one band.
+
+    One union of per-band self-joins, each joining on the band's r signature
+    columns — equi-joins Catalyst can shuffle-hash efficiently. Distinct at
+    the end dedups pairs found by multiple bands.
+    """
+    pairs = None
+    for band in range(LSH_BANDS):
+        cols = [f"sig_{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        a = sig_df.select(F.col(id_col).alias("id_a"), *cols)
+        b = sig_df.select(F.col(id_col).alias("id_b"), *cols)
+        p = a.join(b, cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH candidates verified with exact Jaccard (computed only for
+    candidates — at scale this is the standard two-phase near-dup pipeline)."""
+    cands = minhash_lsh_candidates(minhash_signatures(df, text_col, id_col, k), id_col)
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
+    a = sh.withColumnsRenamed({"id": "id_a", "shs": "shs_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "shs": "shs_b"})
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash32(shingles(F.col(text_col), k)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming <= max_hamming).
+
+    Pairs are bucketed on 4 8-bit chunks of the fingerprint: any pair with
+    Hamming <= 3 over 32 bits must agree exactly on at least one chunk
+    (pigeonhole), so each self-join is an equi-join on a chunk value —
+    no quadratic cross join at scale.
+    """
+    fps = simhash_fingerprints(df, text_col, id_col, k)
+    chunks = 4
+    width = 8
+    pairs = None
+    for c in range(chunks):
+        chunk = (F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1)))
+        a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), chunk.alias("ck"))
+        b = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), chunk.alias("ck"))
+        p = a.join(b, "ck").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "fp_a", "fp_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_lsh_ml(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """Scale path using Spark ML's MinHashLSH (Spark-native hashing — not
+    oracle-replicable; checked rows-only). HashingTF vectorizes shingle sets;
+    approxSimilarityJoin prunes via LSH OR-amplification."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    with_sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("shs")).filter(
+        F.size("shs") > 0
+    )
+    tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(with_sh)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
+        )
+    )

@@ -1,1 +1,192 @@
-"""Placeholder — filled in this round."""
+"""Deduplication queries over ``documents``, each oracle-checked.
+
+The DuckDB oracle replicates the operators in qurious_spark.operators.dedup
+term-for-term: same normalization, same k=3 token shingles, same md5-derived
+60-bit hash, same (a,b) minhash family, same LSH banding. Where the operator
+is not reasonably SQL-expressible (Spark ML MinHashLSH with engine-private
+hashing) the query is registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qurious_spark.operators import dedup as D
+from qurious_spark.queries import df_query, register, table
+
+THRESH = 0.5
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments replicating operators/dedup.py
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _duck_md5int(var: str) -> str:
+    """bigint value of the first 15 hex digits of md5(var)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({var}), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+_SHINGLES_CTE = f"""
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(0, len(toks) - 2),
+                                      i -> array_to_string(toks[i+1:i+3], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shs
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+)
+"""
+
+
+def _duck_sigs_cte() -> str:
+    p = D.MINHASH_P
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS sig_{i}"
+        for i, (a, b) in enumerate(D.HASH_PARAMS)
+    )
+    return f"""
+{_SHINGLES_CTE},
+base AS (
+    SELECT doc_id, shs, list_transform(shs, s -> {_duck_md5int('s')} % {p}) AS hs
+    FROM sh
+),
+sigs AS (SELECT doc_id, shs, {sig_cols} FROM base)
+"""
+
+
+def _duck_band_cond(a: str, b: str) -> str:
+    bands = []
+    for band in range(D.LSH_BANDS):
+        cols = [f"sig_{band * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)]
+        bands.append("(" + " AND ".join(f"{a}.{c} = {b}.{c}" for c in cols) + ")")
+    return " OR ".join(bands)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "dedup_exact",
+    f"""
+    SELECT MIN(doc_id) AS doc_id, count(*) AS dup_count
+    FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@df_query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id AS id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(common / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common / (sa.sz + sb.sz - common) >= {THRESH}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=THRESH)
+
+
+@df_query(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_duck_sigs_cte()}
+    SELECT doc_id, {", ".join(f"sig_{i}" for i in range(D.NUM_HASHES))} FROM sigs
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+@df_query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_duck_sigs_cte()},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a, sigs b
+        WHERE a.doc_id < b.doc_id AND ({_duck_band_cond('a', 'b')})
+    ),
+    verif AS (
+        SELECT id_a, id_b,
+               ROUND(len(list_intersect(sa.shs, sb.shs))
+                     / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6) AS jaccard
+        FROM cands
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verif WHERE jaccard >= {THRESH}
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(table(spark, sf_dir, "documents"), threshold=THRESH)
+
+
+def _duck_simhash() -> str:
+    votes = []
+    for j in range(32):
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        )
+    fp = " + ".join(votes)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    base AS (SELECT doc_id, list_transform(shs, s -> {_duck_md5int('s')}) AS hs FROM sh)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM base
+    """
+
+
+register(
+    "dedup_simhash_fingerprints",
+    lambda spark, sf_dir: D.simhash_fingerprints(table(spark, sf_dir, "documents")),
+    _duck_simhash(),
+)
+
+
+def _duck_simhash_pairs() -> str:
+    return f"""
+    WITH fp AS ({_duck_simhash()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a, fp b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+register(
+    "dedup_simhash_pairs",
+    lambda spark, sf_dir: D.simhash_near_pairs(table(spark, sf_dir, "documents"))
+    .withColumn("hamming", __import__("pyspark.sql.functions", fromlist=["col"]).col("hamming").cast("bigint")),
+    _duck_simhash_pairs(),
+)
+
+
+# Spark ML MinHashLSH — engine-private hashing, rows-only check.
+register(
+    "dedup_minhash_ml",
+    lambda spark, sf_dir: D.minhash_lsh_ml(table(spark, sf_dir, "documents")),
+    None,
+)

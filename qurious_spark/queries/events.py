@@ -1,1 +1,151 @@
-"""Placeholder — filled in this round."""
+"""Event-stream analytics over ``events`` (event_id, ts, user_id, event_type,
+value, props) — the batch faces of the streaming surface.
+
+Tumbling/sliding windows use Spark's ``F.window``; session windows use
+``F.session_window`` — the exact constructs the Structured Streaming surface
+(qurious_spark.streaming) reuses, here checked in batch mode against
+gaps-and-islands / date_trunc oracles. The as-of join uses the scalable
+union+last() operator (operators/asof.py) vs DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qurious_spark.operators.asof import asof_join
+from qurious_spark.queries import df_query, table
+
+
+@df_query(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@df_query(
+    "events_sliding_window",
+    """
+    SELECT window_start, count(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM (
+        SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS window_start, value
+        FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+    )
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@df_query(
+    "events_session_window",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@df_query(
+    "events_asof_join",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.event_id AS asof_event_id,
+           p.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", right_payload=["event_id", "value"]
+    )
+
+
+@df_query(
+    "events_daily_stats",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AVG via exact decimal SUM then double division: float-summation order
+    # would otherwise make ROUND flip at boundaries vs the oracle (the
+    # determinism rule used across all money aggregates — see queries/tpch.py)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"), 4
+        ).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@df_query(
+    "events_json_props",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE event_id < 500
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("prop_k")
+    )

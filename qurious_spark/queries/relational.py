@@ -339,7 +339,7 @@ sql_query(
     """
     SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start,
            count(*) AS orders_cnt,
-           ROUND(SUM(o_totalprice), 2) AS month_rev
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS month_rev
     FROM orders GROUP BY 1
     """,
 )
@@ -366,7 +366,7 @@ sql_query(
 sql_query(
     "agg_no_grouping",
     """
-    SELECT count(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+    SELECT count(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
            MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
     FROM orders
     """,
@@ -408,7 +408,7 @@ sql_query(
     """
     SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
            l_returnflag,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     GROUP BY CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT), l_returnflag
     """,
@@ -430,7 +430,7 @@ sql_query(
     """
     SELECT coalesce(o_orderstatus, '?') AS status,
            coalesce(o_orderpriority, '?') AS prio,
-           count(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev
+           count(*) AS cnt, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )

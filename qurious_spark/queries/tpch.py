@@ -23,12 +23,12 @@ sql_query(
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -61,7 +61,7 @@ sql_query(
     "tpch_q3",
     """
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
            o.o_orderdate
     FROM customer c, orders o, lineitem l
     WHERE c.c_mktsegment = 'BUILDING'
@@ -112,7 +112,7 @@ sql_query(
     "tpch_q5",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
     FROM customer c, orders o, lineitem l, supplier s, nation n, region r
     WHERE c.c_custkey = o.o_custkey
       AND l.l_orderkey = o.o_orderkey
@@ -132,7 +132,7 @@ sql_query(
 sql_query(
     "tpch_q6",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -146,11 +146,11 @@ sql_query(
 sql_query(
     "tpch_q7",
     """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, ROUND(CAST(SUM(volume) AS DOUBLE), 2) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
         FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
         WHERE s.s_suppkey = l.l_suppkey
           AND o.o_orderkey = l.l_orderkey
@@ -172,10 +172,10 @@ sql_query(
     "tpch_q8",
     """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
                n1.n_name AS nation
         FROM part p, supplier s, lineitem l, orders o, customer c, nation n1, nation n2, region r
         WHERE p.p_partkey = l.l_partkey
@@ -199,11 +199,11 @@ sql_query(
 sql_query(
     "tpch_q9",
     """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) - 50.0 * l.l_quantity AS amount
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) - 50.0 * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
         FROM part p, supplier s, lineitem l, orders o, nation n
         WHERE s.s_suppkey = l.l_suppkey
           AND p.p_partkey = l.l_partkey
@@ -222,7 +222,7 @@ sql_query(
     "tpch_q10",
     """
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c, orders o, lineitem l, nation n
     WHERE c.c_custkey = o.o_custkey
@@ -243,11 +243,11 @@ sql_query(
 sql_query(
     "tpch_q11",
     """
-    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+    SELECT l_partkey, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING SUM(l_extendedprice * l_quantity) > (
-        SELECT SUM(l_extendedprice * l_quantity) * 0.001 FROM lineitem
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001 FROM lineitem
     )
     ORDER BY part_value DESC, l_partkey
     """,

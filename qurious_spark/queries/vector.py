@@ -1,1 +1,119 @@
-"""Placeholder — filled in this round."""
+"""Similarity-search queries over ``embeddings`` (vec_id, embedding float[64], label).
+
+The DuckDB oracle computes cosine with the explicit dot/(|a||b|) formula in
+double precision — same operation order as functions/vector.py — and both
+sides round to 6 decimals before comparison/thresholding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qurious_spark.functions import vector as V
+from qurious_spark.operators import similarity as S
+from qurious_spark.queries import df_query, register, table
+
+COS_THRESH = 0.45
+
+_DUCK_COS = """
+CASE WHEN sqrt(list_sum(list_transform({a}, x -> x*x))) * sqrt(list_sum(list_transform({b}, x -> x*x))) > 0
+     THEN list_dot_product({a}, {b})
+          / (sqrt(list_sum(list_transform({a}, x -> x*x))) * sqrt(list_sum(list_transform({b}, x -> x*x))))
+     ELSE 0.0 END
+"""
+
+
+def _cos(a: str, b: str) -> str:
+    return _DUCK_COS.format(a=a, b=b)
+
+
+@df_query(
+    "vector_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS l2,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           label
+    FROM embeddings
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = S.with_double_vec(table(spark, sf_dir, "embeddings"))
+    return emb.select(
+        "vec_id",
+        F.round(V.l2_norm(F.col("embedding")), 6).alias("l2"),
+        F.size("embedding").cast("bigint").alias("dim"),
+        "label",
+    )
+
+
+@df_query(
+    "embedding_cosine_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos('a.v', 'b.v')}, 6) AS sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id AND ROUND({_cos('a.v', 'b.v')}, 6) >= {COS_THRESH}
+    """,
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=COS_THRESH)
+
+
+@df_query(
+    "ann_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({_cos('q.qv', 'e.v')}, 6) AS sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@df_query(
+    "embedding_centroids",
+    """
+    SELECT label, pos, ROUND(AVG(v), 6) AS centroid_v FROM (
+        SELECT label,
+               CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ) GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = S.with_double_vec(table(spark, sf_dir, "embeddings"))
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .withColumn("pos", (F.col("pos0") + 1).cast("bigint"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )
+
+
+# IVF ANN: scale path (bucketed probe). Recall < 1 by design → rows-only.
+register(
+    "ann_ivf_topk",
+    lambda spark, sf_dir: S.ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=2,
+    ),
+    None,
+)

@@ -74,10 +74,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nano_cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
     if not nano_cols:
         return df
+    # integer division: double division would lose precision on epoch-nanos
+    # (~1.7e18 > 2^53) and round the microsecond up
     exprs = [
-        F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")).alias(c)
-        if c in nano_cols
-        else F.col(c)
+        F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c) if c in nano_cols else F.col(c)
         for c in df.columns
     ]
     return df.select(*exprs)
