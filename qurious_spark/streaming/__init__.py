@@ -1,0 +1,29 @@
+"""Structured Streaming surface over event tables.
+
+The reference engine is batch-only (SURVEY.md §2.5: no watermarks, windows,
+or state); this module is the greenfield streaming face of the engine,
+designed Spark-first: ``readStream`` → declarative transforms → sinks,
+watermarks for late data, ``session_window`` for sessionization, and
+``applyInPandasWithState`` for custom stateful logic.
+
+The batch-mode equivalents of these aggregations are oracle-checked in
+qurious_spark/queries/events.py — the same ``F.window`` / ``F.session_window``
+expressions are reused here, so streaming correctness inherits the checked
+semantics; tests drive the streams with availableNow triggers.
+"""
+
+from qurious_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    sessionized_counts,
+    tumbling_counts,
+    user_running_totals,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "sessionized_counts",
+    "tumbling_counts",
+    "user_running_totals",
+]

@@ -1,0 +1,81 @@
+"""Structured Streaming tests: availableNow micro-batch drains over the
+events parquet, cross-checked against the batch equivalents."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+EVENTS_PATH = f"{SF}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage events into a directory (file-stream sources read directories;
+    also normalizes the testdata's nanos timestamps to Spark micros)."""
+    from qurious_spark.sources.readers import read_parquet
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    read_parquet(spark, EVENTS_PATH).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events_dir):
+    from qurious_spark.streaming import read_events_stream
+
+    return read_events_stream(spark, events_dir)
+
+
+def test_tumbling_counts_matches_batch(spark, events_stream):
+    from qurious_spark.streaming import run_to_memory, tumbling_counts
+    import qurious_spark.queries as q
+
+    q.load_all()
+    got = run_to_memory(tumbling_counts(events_stream), "t_tumbling").collect()
+    want = q.REGISTRY["events_tumbling_window"](spark, SF).collect()
+    key = lambda r: (r.window_start, r.event_type)
+    got_m = {key(r): (r.n_events, r.total_value) for r in got}
+    want_m = {key(r): (r.n_events, r.total_value) for r in want}
+    assert got_m == want_m
+
+
+def test_sessionized_counts(spark, events_stream):
+    from qurious_spark.streaming import run_to_memory, sessionized_counts
+
+    rows = run_to_memory(sessionized_counts(events_stream), "t_sessions").collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
+    # sessions for a given user must not overlap-start
+    starts = {}
+    for r in rows:
+        starts.setdefault(r.user_id, []).append(r.session_start)
+    for s in starts.values():
+        assert len(s) == len(set(s))
+
+
+def test_stateful_running_totals(spark, events_stream):
+    from pyspark.sql import functions as F
+
+    from qurious_spark.streaming import run_to_memory, user_running_totals
+
+    got = run_to_memory(
+        user_running_totals(events_stream), "t_running", output_mode="update"
+    )
+    # final state per user (last update wins) must equal the batch totals
+    from qurious_spark.sources.readers import read_parquet
+
+    batch = (
+        read_parquet(spark, EVENTS_PATH)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    )
+    # memory sink in update mode appends each update; take the max n per user
+    latest = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in sorted(got.collect(), key=lambda r: r.n_events)
+    }
+    want = {r.user_id: (r.n, r.tv) for r in batch}
+    assert set(latest) == set(want)
+    for uid, (n, tv) in want.items():
+        assert latest[uid][0] == n
+        assert abs(latest[uid][1] - tv) < 0.01
