@@ -156,14 +156,49 @@ def jaccard_pairs(
     )
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, persist: bool = True
+) -> DataFrame:
+    """(id, shs, hs): distinct shingles + their md5-int hashes, materialized.
+
+    Higher-order-function expressions (transform/aggregate) are interpreted,
+    not codegen'd, and Catalyst's project-collapsing re-evaluates them per
+    consumer — so deriving 16 minhash columns (or 32 simhash votes, or both
+    sides of the LSH band joins) straight from the md5 expression multiplies
+    the md5 work ~100x. Persisting this narrow intermediate (ids + string
+    arrays + bigint arrays) computes each shingle hash exactly once; at
+    cluster scale the same barrier would be a checkpoint/write to storage.
+    """
+    out = df.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("shs")
+    ).withColumn("hs", F.transform("shs", lambda s: md5_int(s)))
+    if persist:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Document minhash signatures as columns sig_0..sig_{NUM_HASHES-1}."""
-    sh = shingles(F.col(text_col), k)
-    sigs = minhash_signature(sh)
-    return df.select(
-        F.col(id_col), *[s.alias(f"sig_{i}") for i, s in enumerate(sigs)]
+    hashed = with_shingle_hashes(df, text_col, id_col, k)
+    return _signatures_from_hashes(hashed, id_col)
+
+
+def _signatures_from_hashes(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    base = F.transform("hs", lambda h: h % MINHASH_P)
+
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    return hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(base, affine(a, b))).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(HASH_PARAMS)
+        ],
     )
 
 
@@ -195,8 +230,13 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard (computed only for
     candidates — at scale this is the standard two-phase near-dup pipeline)."""
-    cands = minhash_lsh_candidates(minhash_signatures(df, text_col, id_col, k), id_col)
-    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
+    hashed = with_shingle_hashes(df, text_col, id_col, k)
+    sig_df = _signatures_from_hashes(hashed, id_col)
+    from pyspark import StorageLevel
+
+    sig_df = sig_df.persist(StorageLevel.MEMORY_AND_DISK)  # read by all 4 band joins
+    cands = minhash_lsh_candidates(sig_df, id_col)
+    sh = hashed.select(F.col(id_col).alias("id"), "shs")
     a = sh.withColumnsRenamed({"id": "id_a", "shs": "shs_a"})
     b = sh.withColumnsRenamed({"id": "id_b", "shs": "shs_b"})
     return (
@@ -219,7 +259,16 @@ def minhash_dedup_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    return df.select(F.col(id_col), simhash32(shingles(F.col(text_col), k)).alias("simhash"))
+    hashed = with_shingle_hashes(df, text_col, id_col, k)
+
+    def voter(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    fp = F.lit(0).cast("bigint")
+    for j in range(32):
+        vote = F.aggregate(F.col("hs"), F.lit(0).cast("bigint"), voter(j))
+        fp = fp + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return hashed.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -236,7 +285,11 @@ def simhash_near_pairs(
     (pigeonhole), so each self-join is an equi-join on a chunk value —
     no quadratic cross join at scale.
     """
-    fps = simhash_fingerprints(df, text_col, id_col, k)
+    from pyspark import StorageLevel
+
+    fps = simhash_fingerprints(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # read by all 4 chunk joins
     chunks = 4
     width = 8
     pairs = None
