@@ -97,6 +97,12 @@ _COPY_RE = re.compile(
     r"^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# COPY ... TO — unimplemented todo!() in the reference (sql.rs:315-322);
+# implemented here via df.write (SURVEY.md §7.4.6).
+_COPY_TO_RE = re.compile(
+    r"^\s*COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
@@ -120,6 +126,25 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
                 elif key == "format":
                     opts["format"] = (val or "csv").lower()
         return DdlDmlStatement(kind="copy_from", table=m.group(1), path=m.group(2), options=opts)
+
+    m = _COPY_TO_RE.match(text)
+    if m:
+        opts: dict[str, object] = {}
+        for part in re.split(r",", m.group(3) or ""):
+            part = part.strip()
+            if not part:
+                continue
+            kv = re.match(r"(\w+)\s*(?:\s+'?([^']*)'?)?$", part)
+            if kv:
+                key = kv.group(1).lower()
+                val = kv.group(2)
+                if key == "format":
+                    opts["format"] = (val or "parquet").lower()
+                elif key == "delimiter":
+                    opts["delimiter"] = val
+                elif key == "header":
+                    opts["header"] = val is None or val.lower() in ("true", "on")
+        return DdlDmlStatement(kind="copy_to", table=m.group(1), path=m.group(2), options=opts)
 
     m = _DROP_RE.match(text)
     if m:

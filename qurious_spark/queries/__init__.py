@@ -78,6 +78,7 @@ def df_query(name: str, oracle: str | None):
 def load_all() -> None:
     """Import every query module (idempotent)."""
     import qurious_spark.queries.relational  # noqa: F401
+    import qurious_spark.queries.scalar  # noqa: F401
     import qurious_spark.queries.tpch  # noqa: F401
     import qurious_spark.queries.text  # noqa: F401
     import qurious_spark.queries.dedup  # noqa: F401

@@ -191,6 +191,13 @@ class Session:
             return self.tables[key].df
         return self.spark.table(name)
 
+    def frame(self, name: str):
+        """Fluent builder over a table (reference entry points B/C —
+        qurious_spark.dataframe.QFrame)."""
+        from qurious_spark.dataframe import QFrame
+
+        return QFrame(self.table(name))
+
     def _put_table(self, name: str, mt: ManagedTable) -> None:
         key = name.lower()
         self.tables[key] = mt
@@ -267,6 +274,20 @@ class Session:
             mt.update_set(stmt.assignments, stmt.predicate)
             self._put_table(mt.name, mt)
             return self._count_df(0)
+        if kind == "copy_to":
+            df = self.table(stmt.table)
+            fmt = stmt.options.get("format", "parquet")
+            writer = df.write.mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", str(stmt.options.get("header", True)).lower())
+                if stmt.options.get("delimiter"):
+                    writer = writer.option("sep", stmt.options["delimiter"])
+                writer.csv(stmt.path)
+            elif fmt == "json":
+                writer.json(stmt.path)
+            else:
+                writer.parquet(stmt.path)
+            return self._count_df(df.count())
         if kind == "copy_from":
             from qurious_spark.sources.readers import read_csv_like
 

@@ -1,0 +1,81 @@
+"""Plan-shape assertions: the Spark analogue of the reference's optimizer
+golden-plan tests (SURVEY.md §4.1). Keeps pushdown / pruning / join strategy
+honest as the engine evolves."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import qurious_spark.queries as q
+
+    q.load_all()
+    return q
+
+
+def test_q1_scan_pruned_and_filter_pushed(spark, registry):
+    from qurious_spark.plans import pushed_filters, scan_columns
+
+    df = registry.REGISTRY["tpch_q1"](spark, SF)
+    cols = scan_columns(df)[0]
+    # only the 7 needed columns are read (lineitem has 11)
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark, registry):
+    from qurious_spark.plans import explain_summary
+
+    df = registry.REGISTRY["tpch_q5"](spark, SF)
+    s = explain_summary(df)
+    assert s["cartesian"] == 0
+    # 5 joins total; at this scale every one should be a broadcast hash join
+    assert s["broadcast_joins"] == 5
+    assert s["sort_merge_joins"] == 0
+
+
+def test_region_filter_reaches_scan(spark, registry):
+    from qurious_spark.plans import pushed_filters
+
+    df = registry.REGISTRY["tpch_q5"](spark, SF)
+    assert any("ASIA" in f for f in pushed_filters(df))
+
+
+def test_topn_fused(spark, registry):
+    from qurious_spark.plans import explain_summary
+
+    df = registry.REGISTRY["topn_orders"](spark, SF)
+    # orderBy+limit must fuse into TakeOrderedAndProject (the reference
+    # hand-fuses the same way, planner/mod.rs:69-83)
+    assert explain_summary(df)["top_n"] == 1
+
+
+def test_agg_is_partial_then_final(spark, registry):
+    df = registry.REGISTRY["tpch_q1"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_exists_becomes_semi_join(spark, registry):
+    df = registry.REGISTRY["exists_subquery"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_metadata_agg_prunes_blob_column(spark):
+    from qurious_spark.operators.multimodal import media_stats, synthetic_media
+
+    df = media_stats(synthetic_media(spark, n=4))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # blob only appears via length(); ensure no full-width scan of meta fields
+    assert "format" not in plan or "meta.format" not in plan
