@@ -6,11 +6,12 @@ Five families, each designed Spark-first for 100 TB:
 - **n-gram Jaccard**: token-shingle sets, exact pairwise similarity via a
   shingle-inverted-index self-join (shuffle on shingle; hot shingles can be
   dropped via ``max_shingle_freq`` — standard prefix-filtering trade-off).
-- **MinHash + LSH**: per-document signatures computed with ARRAY functions
-  (``transform``/``array_min``) — ZERO shuffle for signature computation, no
-  explode; banding then buckets candidates with one join on band keys.
-- **SimHash**: 32-bit fingerprints, again pure array expressions; near-dup =
-  small Hamming distance.
+- **MinHash + LSH**: signatures via explode + one codegen'd aggregate of 16
+  MINs (map-side combine → the shuffle carries only id + 16 bigints);
+  banding then buckets candidates with equi-joins on band keys.
+- **SimHash**: 32-bit fingerprints via the same explode+aggregate shape
+  (32 per-bit vote SUMs); near-dup = small Hamming distance, paired through
+  8-bit chunk buckets (pigeonhole) instead of a cross join.
 - **embedding cosine**: see qurious_spark.operators.vector.
 
 All hash arithmetic is md5-based and replicated exactly by the DuckDB oracle
@@ -72,30 +73,17 @@ def md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_signature(shingle_col: Column) -> list[Column]:
-    """NUM_HASHES min-hash values, each an ``array_min`` over transformed
-    shingles. No shuffle, no explode; one projection."""
-    base = F.transform(shingle_col, lambda s: md5_int(s) % MINHASH_P)
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input arrives in
+    fewer partitions. Small local files scan as 1-2 partitions, which would
+    serialize the CPU-heavy shingling/hashing stages onto one core; on a real
+    cluster a 100 TB input is already wide and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
-    def affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
-    return [F.array_min(F.transform(base, affine(a, b))) for a, b in HASH_PARAMS]
-
-
-def simhash32(shingle_col: Column) -> Column:
-    """32-bit SimHash over distinct shingles: per-bit +/-1 vote, bit set when
-    the vote is positive. Pure array aggregation."""
-    hs = F.transform(shingle_col, lambda s: md5_int(s))
-
-    def voter(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    fp = F.lit(0).cast("bigint")
-    for j in range(32):
-        vote = F.aggregate(hs, F.lit(0).cast("bigint"), voter(j))
-        fp = fp + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
-    return fp
 
 
 # --------------------------------------------------------------------------- #
@@ -108,7 +96,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     md5 digest (fixed 32 bytes/row), not the full text — at 100 TB the
     shuffle payload is ids + digests only."""
     return (
-        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("__fp"))
+        spread(df).select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("__fp"))
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .drop("__fp")
@@ -130,7 +118,7 @@ def jaccard_pairs(
     (prefix filtering) — makes the join skew-proof at corpus scale at the cost
     of missing pairs that ONLY share ultra-common shingles.
     """
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    sh = spread(df).select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -156,49 +144,26 @@ def jaccard_pairs(
     )
 
 
-def with_shingle_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, persist: bool = True
-) -> DataFrame:
-    """(id, shs, hs): distinct shingles + their md5-int hashes, materialized.
-
-    Higher-order-function expressions (transform/aggregate) are interpreted,
-    not codegen'd, and Catalyst's project-collapsing re-evaluates them per
-    consumer — so deriving 16 minhash columns (or 32 simhash votes, or both
-    sides of the LSH band joins) straight from the md5 expression multiplies
-    the md5 work ~100x. Persisting this narrow intermediate (ids + string
-    arrays + bigint arrays) computes each shingle hash exactly once; at
-    cluster scale the same barrier would be a checkpoint/write to storage.
-    """
-    out = df.select(
-        F.col(id_col), shingles(F.col(text_col), k).alias("shs")
-    ).withColumn("hs", F.transform("shs", lambda s: md5_int(s)))
-    if persist:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    return out
-
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Document minhash signatures as columns sig_0..sig_{NUM_HASHES-1}."""
-    hashed = with_shingle_hashes(df, text_col, id_col, k)
-    return _signatures_from_hashes(hashed, id_col)
+    """Document minhash signatures as columns sig_0..sig_{NUM_HASHES-1}.
 
-
-def _signatures_from_hashes(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    base = F.transform("hs", lambda h: h % MINHASH_P)
-
-    def affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-
-    return hashed.select(
-        F.col(id_col),
+    Shape: explode shingles → md5 hash per row → one hash-aggregate with 16
+    MIN functions. Everything stays in whole-stage codegen (array-lambda
+    variants are interpreted and ~10x slower); the groupBy shuffle carries
+    only (id, 16 bigints) thanks to map-side partial MINs, so the pattern
+    holds at corpus scale.
+    """
+    ex = spread(df).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    ).withColumn("h", md5_int(F.col("s")) % MINHASH_P)
+    return ex.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(base, affine(a, b))).alias(f"sig_{i}")
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
             for i, (a, b) in enumerate(HASH_PARAMS)
-        ],
+        ]
     )
 
 
@@ -230,13 +195,13 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard (computed only for
     candidates — at scale this is the standard two-phase near-dup pipeline)."""
-    hashed = with_shingle_hashes(df, text_col, id_col, k)
-    sig_df = _signatures_from_hashes(hashed, id_col)
     from pyspark import StorageLevel
 
-    sig_df = sig_df.persist(StorageLevel.MEMORY_AND_DISK)  # read by all 4 band joins
+    sig_df = minhash_signatures(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # read by all 4 band joins
     cands = minhash_lsh_candidates(sig_df, id_col)
-    sh = hashed.select(F.col(id_col).alias("id"), "shs")
+    sh = spread(df).select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
     a = sh.withColumnsRenamed({"id": "id_a", "shs": "shs_a"})
     b = sh.withColumnsRenamed({"id": "id_b", "shs": "shs_b"})
     return (
@@ -259,16 +224,21 @@ def minhash_dedup_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    hashed = with_shingle_hashes(df, text_col, id_col, k)
-
-    def voter(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
+    """32-bit SimHash via explode + one codegen'd aggregate with 32 per-bit
+    vote SUMs (same scale shape as minhash_signatures)."""
+    ex = spread(df).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    ).withColumn("h", md5_int(F.col("s")))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v_{j}")
+            for j in range(32)
+        ]
+    )
     fp = F.lit(0).cast("bigint")
     for j in range(32):
-        vote = F.aggregate(F.col("hs"), F.lit(0).cast("bigint"), voter(j))
-        fp = fp + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
-    return hashed.select(F.col(id_col), fp.alias("simhash"))
+        fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -319,7 +289,7 @@ def minhash_lsh_ml(
     approxSimilarityJoin prunes via LSH OR-amplification."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    with_sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("shs")).filter(
+    with_sh = spread(df).select(F.col(id_col), shingles(F.col(text_col)).alias("shs")).filter(
         F.size("shs") > 0
     )
     tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18)

@@ -57,6 +57,10 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
             return active
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = master or f"local[{cpus}]"
+        # Scan-split sizing: Spark's 128m default is right for cluster-scale
+        # parquet; local test data is a few MB per file, so benchmarks set
+        # this smaller to actually use the cores (TESTDATA is ~11 MB/table).
+        max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
         return (
             SparkSession.builder.appName(app_name)
             .master(master)
@@ -70,6 +74,7 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
             .config("spark.ui.enabled", "false")
             .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            .config("spark.sql.files.maxPartitionBytes", max_part)
             # testdata events.parquet carries timestamp[ns]; Spark has no nanos
             # type, so read as long and convert in the plan (readers.py).
             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
