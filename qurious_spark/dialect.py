@@ -270,6 +270,27 @@ def _split_top_level_commas(s: str) -> list[str]:
     return parts
 
 
+_INTERVAL_SUM_RE = re.compile(
+    r"\binterval\s+('\d+'(?:\s*\+\s*'\d+')+)\s+(year|month|day|hour|minute|second)s?\b",
+    re.IGNORECASE,
+)
+
+
+def fold_interval_quantity(text: str) -> str:
+    """``interval '1' + '2' day`` → ``INTERVAL '3' DAY``.
+
+    The reference constant-folds the quantity expression of an interval
+    literal at plan time (qurious/src/planner/sql.rs:1146-1229, fixture
+    tests/sql/type.slt IntervalBinaryExpr); Spark's parser only accepts a
+    single quantity literal, so we fold it here."""
+
+    def repl(m: re.Match) -> str:
+        total = sum(int(q) for q in re.findall(r"'(\d+)'", m.group(1)))
+        return f"INTERVAL '{total}' {m.group(2).upper()}"
+
+    return _INTERVAL_SUM_RE.sub(repl, text)
+
+
 _READ_FN_RE = re.compile(
     r"\b(read_csv|read_json|read_parquet)\s*\(\s*'([^']+)'\s*((?:,[^)]*)?)\)",
     re.IGNORECASE,

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from qurious_spark.dialect import (
     DdlDmlStatement,
+    fold_interval_quantity,
     parse_ddl_dml,
     rewrite_table_functions,
 )
@@ -225,7 +226,7 @@ class Session:
         stmt = parse_ddl_dml(text)
         if stmt is not None:
             return self._execute_ddl_dml(stmt)
-        rewritten = rewrite_table_functions(self, text)
+        rewritten = fold_interval_quantity(rewrite_table_functions(self, text))
         if rewritten.strip().upper().startswith("SHOW TABLES"):
             return self._show_tables()
         return self.spark.sql(rewritten)

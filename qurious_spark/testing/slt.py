@@ -1,0 +1,278 @@
+"""sqllogictest-style runner over the engine's Session.
+
+The reference's primary correctness gate is an slt corpus run by a custom
+harness (qurious/tests/sqllogictests.rs:20-43): one fresh session per file,
+``statement ok|error`` / ``query <types> [rowsort]`` directives, golden rows
+inline after ``----``.  This module re-implements that harness for the
+PySpark engine so the reference's own test files run unmodified against
+``qurious_spark.session.Session``.
+
+Rendering mirrors the reference's cell_to_string (sqllogictests.rs:188-256):
+NULL for nulls, ``true``/``false`` booleans, ``(empty)`` for empty strings,
+Rust ``to_string`` float formatting (shortest round-trip, no trailing ``.0``,
+NaN/Infinity spelled out), ISO dates and ``T``-separated timestamps.
+
+Comparison deviates from upstream sqllogictest in exactly one documented way
+(SURVEY.md §7.4.3): the reference engine's single-threaded execution makes
+*every* result input-order-stable, so its corpus omits ``rowsort`` on many
+order-dependent-looking queries.  Spark's row order is partition-dependent,
+so queries without an ORDER BY are compared as multisets; queries with an
+ORDER BY (and explicit ``rowsort`` blocks) keep their exact semantics.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import glob as _glob
+import math
+import os
+import re
+from dataclasses import dataclass, field
+
+__all__ = ["parse_slt_file", "run_slt_file", "SltResult", "render_cell"]
+
+
+# --------------------------------------------------------------------------- #
+# parsing
+# --------------------------------------------------------------------------- #
+@dataclass
+class Record:
+    kind: str  # "statement" | "query"
+    expect_error: bool = False
+    sql: str = ""
+    expected: list[str] = field(default_factory=list)
+    sort_mode: str = "nosort"  # "nosort" | "rowsort"
+    loc: str = ""
+
+
+_STMT_RE = re.compile(r"^statement\s+(ok|error)\b")
+_QUERY_ERR_RE = re.compile(r"^query\s+error\b")
+_QUERY_RE = re.compile(r"^query(?:\s+([A-Za-z]+))?(?:\s+(\w+))?\s*$")
+
+
+def parse_slt_file(path: str) -> list[Record]:
+    """Parse one .slt file into records; follows ``include`` (with globs,
+    relative to the including file) and stops at ``halt`` like the reference
+    harness does."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    records: list[Record] = []
+    i, n = 0, len(lines)
+
+    def _is_boundary(s: str) -> bool:
+        return not s.strip() or s.lstrip().startswith("#")
+
+    while i < n:
+        stripped = lines[i].strip()
+        if _is_boundary(lines[i]):
+            i += 1
+            continue
+        loc = f"{os.path.basename(path)}:{i + 1}"
+        if stripped == "halt":
+            break
+        if stripped.startswith("subtest"):
+            i += 1
+            continue
+        if stripped.startswith("include"):
+            pattern = stripped.split(None, 1)[1].strip()
+            base = os.path.dirname(os.path.abspath(path))
+            matches = sorted(_glob.glob(os.path.join(base, pattern)))
+            if not matches:
+                raise FileNotFoundError(f"{loc}: include matched nothing: {pattern}")
+            for sub in matches:
+                records.extend(parse_slt_file(sub))
+            i += 1
+            continue
+
+        m = _STMT_RE.match(stripped)
+        if m:
+            i += 1
+            sql_lines = []
+            while i < n and not _is_boundary(lines[i]):
+                sql_lines.append(lines[i])
+                i += 1
+            records.append(
+                Record("statement", m.group(1) == "error", "\n".join(sql_lines), loc=loc)
+            )
+            continue
+
+        if _QUERY_ERR_RE.match(stripped):
+            i += 1
+            sql_lines = []
+            while i < n and not _is_boundary(lines[i]) and lines[i].strip() != "----":
+                sql_lines.append(lines[i])
+                i += 1
+            records.append(Record("query", True, "\n".join(sql_lines), loc=loc))
+            continue
+
+        m = _QUERY_RE.match(stripped)
+        if m:
+            sort_mode = m.group(2) or "nosort"
+            i += 1
+            sql_lines = []
+            while i < n and lines[i].strip() not in ("----",) and lines[i].strip():
+                sql_lines.append(lines[i])
+                i += 1
+            expected: list[str] = []
+            if i < n and lines[i].strip() == "----":
+                i += 1
+                while i < n and lines[i].strip():
+                    expected.append(lines[i].rstrip())
+                    i += 1
+            records.append(
+                Record("query", False, "\n".join(sql_lines), expected, sort_mode, loc)
+            )
+            continue
+
+        raise ValueError(f"{loc}: unrecognized slt directive: {stripped!r}")
+    return records
+
+
+# --------------------------------------------------------------------------- #
+# rendering (reference cell_to_string parity, sqllogictests.rs:188-256)
+# --------------------------------------------------------------------------- #
+def _float_str(v: float, bits: int = 64) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    import numpy as np
+
+    x = np.float32(v) if bits == 32 else np.float64(v)
+    # shortest round-trip, trailing-zero/point trimmed — Rust f64::to_string
+    return np.format_float_positional(x, unique=True, trim="-")
+
+
+def render_cell(v: object, dtype: str = "") -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return _float_str(v, 32 if dtype == "float" else 64)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep="T")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return "(empty)" if v == "" else v.rstrip("\n")
+    return str(v)
+
+
+def _render_rows(df) -> list[list[str]]:
+    dtypes = [t for _, t in df.dtypes]
+    return [
+        [render_cell(v, dtypes[j]) for j, v in enumerate(row)] for row in df.collect()
+    ]
+
+
+# --------------------------------------------------------------------------- #
+# comparison
+# --------------------------------------------------------------------------- #
+def _tokens_match(exp: str, act: str) -> bool:
+    if exp == act:
+        return True
+    try:
+        fe, fa = float(exp), float(act)
+    except ValueError:
+        return False
+    if math.isnan(fe) or math.isnan(fa):
+        return math.isnan(fe) and math.isnan(fa)
+    return math.isclose(fe, fa, rel_tol=1e-6, abs_tol=1e-9)
+
+
+def _rows_match(expected: list[list[str]], actual: list[list[str]]) -> bool:
+    if len(expected) != len(actual):
+        return False
+    return all(
+        len(e) == len(a) and all(_tokens_match(x, y) for x, y in zip(e, a))
+        for e, a in zip(expected, actual)
+    )
+
+
+def _compare(rec: Record, actual: list[list[str]]) -> str | None:
+    expected = [line.split() for line in rec.expected]
+    ordered = rec.sort_mode != "rowsort" and re.search(
+        r"\border\s+by\b", rec.sql, re.IGNORECASE
+    )
+    if not ordered:
+        expected = sorted(expected, key=lambda r: [str(c) for c in r])
+        actual = sorted(actual, key=lambda r: [str(c) for c in r])
+    if _rows_match(expected, actual):
+        return None
+    fmt = lambda rows: "\n".join("  " + " ".join(r) for r in rows) or "  (no rows)"
+    return f"expected:\n{fmt(expected)}\nactual:\n{fmt(actual)}"
+
+
+# --------------------------------------------------------------------------- #
+# runner
+# --------------------------------------------------------------------------- #
+@dataclass
+class SltResult:
+    path: str
+    total: int = 0
+    passed: int = 0
+    failures: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.failures
+
+
+def run_slt_file(path: str, spark=None) -> SltResult:
+    """Run one slt file against a fresh Session (the reference harness also
+    gives each file its own session, sqllogictests.rs:31-33)."""
+    from qurious_spark.session import Session
+
+    session = Session(spark)
+    # fresh namespace: temp views persist across Sessions in the shared JVM
+    for t in session.spark.catalog.listTables():
+        if t.isTemporary:
+            session.spark.catalog.dropTempView(t.name)
+
+    result = SltResult(path=path)
+    for rec in parse_slt_file(path):
+        result.total += 1
+        err: str | None = None
+        try:
+            df = session.sql(rec.sql)
+            if rec.kind == "query" and not rec.expect_error:
+                err = _compare(rec, _render_rows(df))
+            elif rec.expect_error:
+                df.collect()  # force runtime errors (e.g. ANSI divide-by-zero)
+                err = "expected an error, statement succeeded"
+        except Exception as e:  # noqa: BLE001 — any engine error counts
+            if not rec.expect_error:
+                err = f"unexpected error: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        if err is None:
+            result.passed += 1
+        else:
+            result.failures.append(f"{rec.loc}: {rec.sql.strip()[:120]}\n{err}")
+    return result
+
+
+def main(argv: list[str]) -> int:
+    paths: list[str] = []
+    for arg in argv:
+        paths.extend(sorted(_glob.glob(arg)) if _glob.has_magic(arg) else [arg])
+    from qurious_spark.session import get_spark
+
+    spark = get_spark()
+    bad = 0
+    for p in paths:
+        r = run_slt_file(p, spark)
+        status = "PASS" if r.ok else "FAIL"
+        print(f"{status} {os.path.basename(p)}: {r.passed}/{r.total}")
+        for f in r.failures:
+            bad += 1
+            print("  " + f.replace("\n", "\n  "))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main(sys.argv[1:]))

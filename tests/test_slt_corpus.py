@@ -1,0 +1,96 @@
+"""Run the reference's own sqllogictest corpus against our engine.
+
+The reference's primary correctness gate (qurious/tests/sqllogictests.rs) runs
+every tests/sql/*.slt file with a fresh session per file.  We execute the very
+same files (read from the read-only reference checkout — never copied) through
+qurious_spark.testing.slt.
+
+tpch.slt is gated exactly like upstream: it COPYs dbgen-generated .tbl files
+that ship with neither repo (reference Makefile:23-36 generates them via
+docker), so it only runs when INCLUDE_TPCH=true and the data exists.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from qurious_spark.testing.slt import parse_slt_file, run_slt_file
+
+REFERENCE_SQL_DIR = "/root/reference/qurious/tests/sql"
+
+_files = sorted(glob.glob(os.path.join(REFERENCE_SQL_DIR, "*.slt")))
+_general = [f for f in _files if os.path.basename(f) != "tpch.slt"]
+
+
+@pytest.mark.skipif(not _general, reason="reference slt corpus not available")
+@pytest.mark.parametrize("slt_path", _general, ids=os.path.basename)
+def test_reference_slt_file(spark, slt_path):
+    result = run_slt_file(slt_path, spark)
+    assert result.ok, "\n".join(result.failures)
+    assert result.passed == result.total
+
+
+@pytest.mark.skipif(
+    os.environ.get("INCLUDE_TPCH", "").lower() != "true"
+    or not os.path.exists(
+        os.path.join(REFERENCE_SQL_DIR, "..", "tpch", "data", "lineitem.tbl")
+    ),
+    reason="TPC-H slt needs INCLUDE_TPCH=true + dbgen .tbl data (reference Makefile:23-36)",
+)
+def test_reference_tpch_slt(spark):
+    result = run_slt_file(os.path.join(REFERENCE_SQL_DIR, "tpch.slt"), spark)
+    assert result.ok, "\n".join(result.failures)
+
+
+def test_slt_parser_shapes(tmp_path):
+    """Parser unit check: directives, rowsort, error records, halt."""
+    p = tmp_path / "mini.slt"
+    p.write_text(
+        "# comment\n"
+        "statement ok\n"
+        "create table t(a int)\n"
+        "\n"
+        "query I rowsort\n"
+        "select a from t\n"
+        "----\n"
+        "1\n"
+        "2\n"
+        "\n"
+        "query error\n"
+        "select nope from t\n"
+        "\n"
+        "halt\n"
+        "statement ok\n"
+        "never parsed\n"
+    )
+    recs = parse_slt_file(str(p))
+    assert [r.kind for r in recs] == ["statement", "query", "query"]
+    assert recs[1].sort_mode == "rowsort"
+    assert recs[1].expected == ["1", "2"]
+    assert recs[2].expect_error
+
+
+def test_slt_runner_end_to_end(tmp_path, spark):
+    p = tmp_path / "e2e.slt"
+    p.write_text(
+        "statement ok\n"
+        "create table t(v1 int, v2 double)\n"
+        "\n"
+        "statement ok\n"
+        "insert into t values (1, 1.5), (NULL, 2.0)\n"
+        "\n"
+        "query IR rowsort\n"
+        "select v1, v2 from t\n"
+        "----\n"
+        "1 1.5\n"
+        "NULL 2\n"
+        "\n"
+        "statement error\n"
+        "select boom from t\n"
+    )
+    result = run_slt_file(str(p), spark)
+    assert result.ok, "\n".join(result.failures)
+    assert result.total == 4
