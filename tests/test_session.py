@@ -147,3 +147,22 @@ def test_dataframe_fluent_api(spark, session):
     )
     rows = df.collect()
     assert len(rows) == 3 and all(r.c > 0 for r in rows)
+
+
+def test_register_udf_pandas(session):
+    # vectorized scalar UDF surface (reference UDF trait:
+    # qurious/src/functions/mod.rs:10-21 — Arrow-native eval over arrays;
+    # our analogue is an Arrow-batched pandas_udf registered by name)
+    import pandas as pd
+
+    def double_plus_one(s: pd.Series) -> pd.Series:
+        return s * 2 + 1
+
+    session.register_udf("DOUBLE_PLUS_ONE", double_plus_one, "double")
+    row = session.sql(
+        "SELECT DOUBLE_PLUS_ONE(l_quantity) AS v FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1"
+    ).collect()[0]
+    base = session.sql(
+        "SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1"
+    ).collect()[0]
+    assert row.v == base.l_quantity * 2 + 1
