@@ -1,0 +1,145 @@
+"""Plan audit: explain-lint every registry query for scale anti-patterns.
+
+The reference has no optimizer introspection; in a Spark engine the physical
+plan IS the scale story, so we lint it mechanically.  For each
+``queries()`` entry the initial physical plan (pre-AQE) is checked for:
+
+- **cartesian** products and broadcast-nested-loop joins anywhere a query is
+  not explicitly expected to need one (non-equi joins, explicit CROSS JOIN);
+- **python_eval** stages (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+  outside the operators that are deliberately Python-backed (multimodal
+  decode, MLlib minhash) — everything else must stay JVM-side;
+- **no_codegen**: plans with zero WholeStageCodegen spans (interpreted
+  execution end to end);
+- informational: shuffle count, scan count, per-scan column width (pruning).
+
+Run: ``python -m qurious_spark.plans.audit [--sf DIR] [--only a,b]``;
+``tests/test_plan_audit.py`` enforces zero hard violations on every query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qurious_spark.plans.inspect import _executed_plan, plan_facts, scan_columns_from
+
+# Queries allowed to plan a cartesian / broadcast-nested-loop join: explicit
+# cross joins and non-equi-only join conditions (Spark's only options).
+ALLOW_NON_EQUI = {
+    "cross_join",
+    "join_non_equi",
+    "embedding_cosine_pairs",  # all-pairs similarity is a deliberate cross join at bounded n
+    "ann_topk_bruteforce",  # query-point x corpus scoring
+    "ann_ivf_topk",
+    "dedup_minhash_ml",  # MLlib approxSimilarityJoin internals
+}
+
+# Queries whose Python stages are the point (stubbed decode, MLlib UDFs).
+ALLOW_PYTHON = {
+    "multimodal_image_features",
+    "multimodal_frame_sample",
+    "dedup_minhash_ml",
+}
+
+
+@dataclass
+class Finding:
+    query: str
+    kind: str  # cartesian | bnlj | python_eval | no_codegen
+    detail: str
+
+
+@dataclass
+class AuditReport:
+    findings: list[Finding] = field(default_factory=list)
+    info: dict[str, dict] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return not self.findings
+
+
+_PYTHON_NODES = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInArrow",
+)
+
+
+def audit_df(name: str, df: DataFrame) -> tuple[list[Finding], dict]:
+    # Execute first: under AQE the initial plan carries no codegen markers and
+    # join strategies may still change; the audit reads the FINAL plan (the
+    # "== Initial Plan ==" tail is cut so nothing is double-counted).
+    df.collect()
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    summary = plan_facts(plan)
+    findings: list[Finding] = []
+    if summary["cartesian"] and name not in ALLOW_NON_EQUI:
+        findings.append(Finding(name, "cartesian", "CartesianProduct in plan"))
+    if summary["nested_loop_joins"] and name not in ALLOW_NON_EQUI:
+        findings.append(Finding(name, "bnlj", "BroadcastNestedLoopJoin in plan"))
+    py_nodes = [n for n in _PYTHON_NODES if n in plan]
+    if py_nodes and name not in ALLOW_PYTHON:
+        findings.append(Finding(name, "python_eval", ", ".join(py_nodes)))
+    if summary["codegen_stages"] == 0 and not py_nodes and summary["scans"]:
+        findings.append(Finding(name, "no_codegen", "no WholeStageCodegen span"))
+    info = {
+        "shuffles": summary["shuffles"],
+        "scans": summary["scans"],
+        "broadcast_joins": summary["broadcast_joins"],
+        "sort_merge_joins": summary["sort_merge_joins"],
+        "codegen_stages": summary["codegen_stages"],
+        "scan_widths": [len(c) for c in scan_columns_from(plan)],
+    }
+    return findings, info
+
+
+def audit_registry(
+    spark: SparkSession, sf_dir: str, only: set[str] | None = None
+) -> AuditReport:
+    import qurious_spark.queries as q
+
+    q.load_all()
+    report = AuditReport()
+    for name, fn in q.REGISTRY.items():
+        if only and name not in only:
+            continue
+        findings, info = audit_df(name, fn(spark, sf_dir))
+        report.findings.extend(findings)
+        report.info[name] = info
+    return report
+
+
+def main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args(argv)
+
+    from qurious_spark.session import get_spark
+
+    report = audit_registry(
+        get_spark(), args.sf, set(args.only.split(",")) if args.only else None
+    )
+    for name, info in report.info.items():
+        print(
+            f"{name}: shuffles={info['shuffles']} bcast={info['broadcast_joins']} "
+            f"smj={info['sort_merge_joins']} codegen={info['codegen_stages']} "
+            f"scan_widths={info['scan_widths']}"
+        )
+    for f in report.findings:
+        print(f"VIOLATION {f.query}: {f.kind} ({f.detail})")
+    print(f"{len(report.info)} queries audited, {len(report.findings)} violations")
+    return 1 if report.findings else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main(sys.argv[1:]))

@@ -11,9 +11,8 @@ def _executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def explain_summary(df: DataFrame) -> dict:
-    """One-glance plan facts: joins, shuffles, scans, codegen spans."""
-    plan = _executed_plan(df)
+def plan_facts(plan: str) -> dict:
+    """One-glance facts from a physical-plan string."""
     return {
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
@@ -28,6 +27,11 @@ def explain_summary(df: DataFrame) -> dict:
     }
 
 
+def explain_summary(df: DataFrame) -> dict:
+    """One-glance plan facts: joins, shuffles, scans, codegen spans."""
+    return plan_facts(_executed_plan(df))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """DataFilters/PushedFilters reaching the parquet scans."""
     plan = _executed_plan(df)
@@ -40,7 +44,10 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 def scan_columns(df: DataFrame) -> list[list[str]]:
     """Column list of each parquet scan (column-pruning check)."""
-    plan = _executed_plan(df)
+    return scan_columns_from(_executed_plan(df))
+
+
+def scan_columns_from(plan: str) -> list[list[str]]:
     return [
         [c.split("#")[0] for c in m.group(1).split(",")]
         for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan)
