@@ -76,6 +76,12 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
             .config("spark.ui.enabled", "false")
             .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
             .config("spark.sql.files.maxPartitionBytes", max_part)
+            # bucketed saveAsTable targets (sources/bucketing.py) land here,
+            # not in the repo working tree
+            .config(
+                "spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/qurious_spark_warehouse"),
+            )
             # testdata events.parquet carries timestamp[ns]; Spark has no nanos
             # type, so read as long and convert in the plan (readers.py).
             .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -79,3 +79,44 @@ def test_stateful_running_totals(spark, events_stream):
     for uid, (n, tv) in want.items():
         assert latest[uid][0] == n
         assert abs(latest[uid][1] - tv) < 0.01
+
+
+def test_stream_dedup_exact_matches_batch(spark, events_stream):
+    # exact streaming dedup on event_type-as-text: result count equals the
+    # batch distinct-fingerprint count
+    from qurious_spark.streaming import run_to_memory
+    from qurious_spark.streaming.dedup import stream_dedup_exact
+
+    out = run_to_memory(
+        stream_dedup_exact(events_stream, text_col="event_type"),
+        "dedup_exact_stream",
+        output_mode="append",
+    )
+    from qurious_spark.sources.readers import read_parquet
+
+    n_stream = out.count()
+    n_batch = (
+        read_parquet(spark, EVENTS_PATH).select("event_type").distinct().count()
+    )
+    assert n_stream == n_batch
+
+
+def test_stream_dedup_within_watermark(spark, events_stream):
+    from qurious_spark.streaming import run_to_memory
+    from qurious_spark.streaming.dedup import stream_dedup_within_watermark
+
+    out = run_to_memory(
+        stream_dedup_within_watermark(
+            events_stream, text_col="event_type", ts_col="ts", delay="1 hour"
+        ),
+        "dedup_wm_stream",
+        output_mode="append",
+    )
+    from qurious_spark.sources.readers import read_parquet
+
+    total = read_parquet(spark, EVENTS_PATH).count()
+    distinct = read_parquet(spark, EVENTS_PATH).select("event_type").distinct().count()
+    n = out.count()
+    # dedup within watermark removes close-in-time repeats: strictly fewer
+    # rows than the raw stream, at least one per distinct fingerprint
+    assert distinct <= n < total
