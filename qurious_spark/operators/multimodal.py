@@ -182,3 +182,102 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum(F.length("blob")).alias("total_bytes"),
         F.avg(F.col("meta.width")).alias("avg_width"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame, deterministic_fake: bool = False, batch_partitions: int | None = None
+) -> DataFrame:
+    """Decode audio blobs → (sample_rate, n_samples, RMS, zero crossings).
+
+    Real decode needs an audio library NOT in this container — STUB: only
+    ``deterministic_fake=True`` runs (blob's md5 stream as int8 samples);
+    the Spark plumbing (mapInPandas, schema, repartition) is real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real audio decoding needs soundfile/librosa (absent in "
+                    "this container); pass deterministic_fake=True"
+                )
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for _, row in pdf.iterrows():
+                blob = bytes(row["blob"])
+                samples = np.frombuffer(blob, dtype=np.int8).astype(np.float64)
+                out["media_id"].append(row["media_id"])
+                out["sample_rate"].append(int(row["meta"]["sample_rate"]))
+                out["n_samples"].append(len(samples))
+                out["rms"].append(round(float(np.sqrt(np.mean(samples**2))), 6))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(samples))))
+                )
+            yield pd.DataFrame(out)
+
+    src = df
+    if batch_partitions:
+        src = src.repartition(batch_partitions, "media_id")
+    return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_width: int = 16, out_height: int = 12,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize image blobs to (out_width, out_height) grayscale.
+
+    STUB decode as in decode_image_features (md5-tiled fake pixels) followed
+    by a REAL nearest-neighbor resample in numpy — the Spark shape
+    (mapInPandas, fixed output schema, blob out) is what a PIL/opencv-backed
+    implementation would keep unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real image decoding needs PIL/opencv (absent in this "
+                    "container); pass deterministic_fake=True"
+                )
+            out = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for _, row in pdf.iterrows():
+                w = int(row["meta"]["width"])
+                h = int(row["meta"]["height"])
+                px = _fake_pixels(bytes(row["blob"]), w, h)
+                ys = (np.arange(out_height) * h // out_height)
+                xs = (np.arange(out_width) * w // out_width)
+                small = px[np.ix_(ys, xs)]
+                out["media_id"].append(row["media_id"])
+                out["width"].append(out_width)
+                out["height"].append(out_height)
+                out["pixels"].append(bytearray(small.tobytes()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

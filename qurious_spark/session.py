@@ -197,8 +197,21 @@ class Session:
 
         self.spark.udf.register(name, pandas_udf(fn, return_type))
 
+    @staticmethod
+    def _normalize_name(name: str) -> str:
+        """Resolve bare/partial/full table references to the bare name —
+        the reference accepts t / public.t / qurious.public.t with defaults
+        catalog=qurious, schema=public (table_relation.rs:8-38,
+        config.rs:1-13)."""
+        parts = name.lower().split(".")
+        if len(parts) == 3 and parts[0] == DEFAULT_CATALOG and parts[1] == DEFAULT_SCHEMA:
+            return parts[2]
+        if len(parts) == 2 and parts[0] == DEFAULT_SCHEMA:
+            return parts[1]
+        return name.lower()
+
     def table(self, name: str) -> DataFrame:
-        key = name.lower()
+        key = self._normalize_name(name)
         if key in self.tables:
             return self.tables[key].df
         return self.spark.table(name)
@@ -211,18 +224,18 @@ class Session:
         return QFrame(self.table(name))
 
     def _put_table(self, name: str, mt: ManagedTable) -> None:
-        key = name.lower()
+        key = self._normalize_name(name)
         self.tables[key] = mt
-        mt.df.createOrReplaceTempView(name)
+        mt.df.createOrReplaceTempView(key)
 
     def _drop_table(self, name: str, if_exists: bool) -> None:
-        key = name.lower()
+        key = self._normalize_name(name)
         if key not in self.tables:
             if if_exists:
                 return
             raise ValueError(f"table not found: {name}")
         del self.tables[key]
-        self.spark.catalog.dropTempView(name)
+        self.spark.catalog.dropTempView(key)
 
     # ------------------------------------------------------------------ #
     # SQL entry point
@@ -235,7 +248,23 @@ class Session:
         rewritten = fold_interval_quantity(rewrite_table_functions(self, text))
         if rewritten.strip().upper().startswith("SHOW TABLES"):
             return self._show_tables()
-        return self.spark.sql(rewritten)
+        return self.spark.sql(self._dequalify(rewritten))
+
+    def _dequalify(self, text: str) -> str:
+        """Strip default-catalog/schema qualifiers off managed-table
+        references (qurious.public.t / public.t → t) so they resolve to the
+        bare temp views — the reference's bare/partial/full name forms
+        (table_relation.rs:8-38)."""
+        import re
+
+        for key in self.tables:
+            text = re.sub(
+                rf"\b(?:{DEFAULT_CATALOG}\.)?{DEFAULT_SCHEMA}\.({re.escape(key)})\b",
+                r"\1",
+                text,
+                flags=re.IGNORECASE,
+            )
+        return text
 
     def _show_tables(self) -> DataFrame:
         """SHOW TABLES parity: the reference rewrites it to a select over
@@ -317,7 +346,7 @@ class Session:
         raise ValueError(f"unsupported statement kind: {kind}")
 
     def _get_managed(self, name: str) -> ManagedTable:
-        key = name.lower()
+        key = self._normalize_name(name)
         if key not in self.tables:
             raise ValueError(f"not a managed table: {name}")
         return self.tables[key]

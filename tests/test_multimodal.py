@@ -53,3 +53,41 @@ def test_media_stats_prunes_blob(spark, media):
     stats = media_stats(media).collect()
     assert stats[0].n == 32
     assert stats[0].total_bytes == 32 * 128
+
+
+def test_audio_features_fake_decode(spark):
+    from qurious_spark.operators.multimodal import (
+        decode_audio_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=8, kind="audio")
+    out = decode_audio_features(media, deterministic_fake=True).collect()
+    assert len(out) == 8
+    assert all(r.n_samples == 128 and r.sample_rate == 16000 for r in out)
+    assert all(r.rms > 0 for r in out)
+    # deterministic: same input -> same features
+    again = decode_audio_features(media, deterministic_fake=True).collect()
+    assert sorted(r.rms for r in out) == sorted(r.rms for r in again)
+
+
+def test_audio_decode_stub_raises_without_fake(spark):
+    import pytest as _pytest
+
+    from qurious_spark.operators.multimodal import (
+        decode_audio_features,
+        synthetic_media,
+    )
+
+    with _pytest.raises(Exception, match="NotImplementedError|audio"):
+        decode_audio_features(synthetic_media(spark, n=2, kind="audio")).collect()
+
+
+def test_resize_images_fake_decode(spark):
+    from qurious_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=4, kind="image")
+    out = resize_images(media, out_width=16, out_height=12, deterministic_fake=True).collect()
+    assert len(out) == 4
+    assert all(r.width == 16 and r.height == 12 for r in out)
+    assert all(len(bytes(r.pixels)) == 16 * 12 for r in out)

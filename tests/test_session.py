@@ -166,3 +166,21 @@ def test_register_udf_pandas(session):
         "SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1"
     ).collect()[0]
     assert row.v == base.l_quantity * 2 + 1
+
+
+def test_qualified_table_names(fresh):
+    # reference name forms: t / public.t / qurious.public.t
+    # (qurious/src/common/table_relation.rs:8-38; defaults config.rs:1-13)
+    fresh.sql("CREATE TABLE qualname_t (a INT)")
+    fresh.sql("INSERT INTO public.qualname_t VALUES (1)")
+    fresh.sql("INSERT INTO qurious.public.qualname_t VALUES (2)")
+    assert fresh.sql("SELECT count(*) AS c FROM public.qualname_t").collect()[0].c == 2
+    assert (
+        fresh.sql("SELECT count(*) AS c FROM qurious.public.qualname_t").collect()[0].c
+        == 2
+    )
+    fresh.sql("DROP TABLE qurious.public.qualname_t")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        fresh.sql("SELECT * FROM qualname_t").collect()
