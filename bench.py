@@ -30,6 +30,16 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q11",
     "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "agg_distinct",
     "window_row_number",
     "dedup_exact",

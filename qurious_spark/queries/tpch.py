@@ -292,3 +292,240 @@ sql_query(
     ORDER BY 1
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Q13-Q22: BEYOND the reference (its corpus stops at Q12 — SURVEY §5). Same
+# adaptation rules: missing columns (o_comment, c_phone, partsupp,
+# l_receiptdate/commitdate) substituted with available ones while keeping
+# each query's characteristic operator shape.
+# ---------------------------------------------------------------------------
+
+# Q13 — customer order-count distribution: LEFT OUTER JOIN with an extra join
+# predicate + double grouping. (o_comment filter → o_orderpriority.)
+sql_query(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+# Q14 — promo revenue share: conditional aggregation ratio over one month.
+sql_query(
+    "tpch_q14",
+    """
+    SELECT ROUND(
+             100.00 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))
+                   ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE),
+           4) AS promo_revenue
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+
+# Q15 — top supplier: CTE in place of the original CREATE VIEW revenue0;
+# scalar-MAX subquery over the same CTE.
+sql_query(
+    "tpch_q15",
+    """
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier s, revenue0 r
+    WHERE s.s_suppkey = r.supplier_no
+      AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s.s_suppkey
+    """,
+)
+
+# Q16 — part/supplier relationship count: COUNT(DISTINCT) + NOT IN subquery.
+# (partsupp → lineitem as the part-supplier link; comment filter → negative
+# account balance.)
+sql_query(
+    "tpch_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+
+# Q17 — small-quantity-order revenue: correlated scalar AVG subquery.
+sql_query(
+    "tpch_q17",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+
+# Q18 — large-volume customers: IN over a HAVING subquery + top-n.
+sql_query(
+    "tpch_q18",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+          )
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+
+# Q19 — discounted revenue: disjunction of brand/size/quantity conjunctions
+# (the OR-of-ANDs predicate Catalyst must not turn into a cartesian).
+sql_query(
+    "tpch_q19",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+        OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 40))
+    """,
+)
+
+# Q20 — potential part promotion: nested IN subqueries with HAVING.
+# (partsupp availqty → total shipped quantity per supplier.)
+sql_query(
+    "tpch_q20",
+    """
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 300
+    )
+    ORDER BY s.s_name
+    """,
+)
+
+# Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS on the same
+# fact table ("late" = shipped >90 days after order date, replacing the
+# absent receipt/commit dates).
+sql_query(
+    "tpch_q21",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    duck_sql="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+
+# Q22 — global sales opportunity: substring-derived code + uncorrelated AVG
+# subquery + NOT EXISTS anti join. (c_phone country code → custkey mod 10;
+# "no orders" → "no urgent orders" so the result is non-empty at test SFs.)
+sql_query(
+    "tpch_q22",
+    """
+    SELECT cntrycode, count(*) AS numcust, ROUND(SUM(acctbal), 2) AS totacctbal
+    FROM (
+        SELECT CAST(c.c_custkey % 10 AS STRING) AS cntrycode, c.c_acctbal AS acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+              )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    duck_sql="""
+    SELECT cntrycode, count(*) AS numcust, ROUND(SUM(acctbal), 2) AS totacctbal
+    FROM (
+        SELECT CAST(c.c_custkey % 10 AS VARCHAR) AS cntrycode, c.c_acctbal AS acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+              )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
