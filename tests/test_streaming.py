@@ -2,6 +2,7 @@
 events parquet, cross-checked against the batch equivalents."""
 
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 EVENTS_PATH = f"{SF}/events.parquet"
@@ -120,3 +121,55 @@ def test_stream_dedup_within_watermark(spark, events_stream):
     # dedup within watermark removes close-in-time repeats: strictly fewer
     # rows than the raw stream, at least one per distinct fingerprint
     assert distinct <= n < total
+
+
+def test_stream_static_enrich(spark, events_stream):
+    from qurious_spark.streaming import run_to_memory
+    from qurious_spark.streaming.joins import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive")],
+        "event_type string, category string",
+    )
+    out = run_to_memory(
+        stream_static_enrich(events_stream, dim, ("event_type", "event_type")).select(
+            "event_id", "category"
+        ),
+        "enrich_stream",
+        output_mode="append",
+    )
+    cats = {r.category for r in out.collect()}
+    assert cats and cats <= {"interactive", "passive"}
+
+
+def test_stream_stream_interval_join(spark, events_stream, events_dir):
+    from qurious_spark.streaming import read_events_stream, run_to_memory
+    from qurious_spark.streaming.joins import stream_stream_interval_join
+    from qurious_spark.sources.readers import read_parquet
+
+    right = read_events_stream(spark, events_dir)
+    joined = stream_stream_interval_join(
+        events_stream,
+        right,
+        key=("user_id", "user_id"),
+        watermark="4 hours",
+        interval="30 minutes",
+    ).select(
+        F.col("l.event_id").alias("lid"),
+        F.col("r.event_id").alias("rid"),
+    )
+    out = run_to_memory(joined, "ssj_stream", output_mode="append")
+    n_stream = out.count()
+
+    # batch replica of the same interval join
+    ev = read_parquet(spark, EVENTS_PATH)
+    l, r = ev.alias("l"), ev.alias("r")
+    n_batch = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes")),
+        ).count()
+    )
+    assert n_stream == n_batch
