@@ -172,18 +172,42 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: candidate pairs agreeing on ALL rows of at least one band.
 
-    One union of per-band self-joins, each joining on the band's r signature
-    columns — equi-joins Catalyst can shuffle-hash efficiently. Distinct at
-    the end dedups pairs found by multiple bands.
+    Signatures explode to one (id, band, row-values...) row per band, then a
+    SINGLE self-join on the full band key buckets candidates — one shuffle of
+    LSH_BANDS small rows per document, instead of LSH_BANDS separate
+    self-joins over the whole signature table.  Exact band equality (no
+    band-hash collisions).  Distinct dedups pairs found by multiple bands.
     """
-    pairs = None
-    for band in range(LSH_BANDS):
-        cols = [f"sig_{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        a = sig_df.select(F.col(id_col).alias("id_a"), *cols)
-        b = sig_df.select(F.col(id_col).alias("id_b"), *cols)
-        p = a.join(b, cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"sig_{b * LSH_ROWS + r}").alias(f"s{r}")
+                    for r in range(LSH_ROWS)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    keys = ["band"] + [f"s{r}" for r in range(LSH_ROWS)]
+    ex = sig_df.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bk")).select(
+        "id", "bk.*"
+    )
+    from pyspark import StorageLevel
+
+    # both join sides read this narrow frame (LSH_BANDS rows/doc); persisting
+    # computes the signature aggregation once and lets AQE broadcast the
+    # build side when it is small
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    a = ex.withColumnRenamed("id", "id_a")
+    b = ex.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_dedup_pairs(
@@ -195,11 +219,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard (computed only for
     candidates — at scale this is the standard two-phase near-dup pipeline)."""
-    from pyspark import StorageLevel
-
-    sig_df = minhash_signatures(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # read by all 4 band joins
+    sig_df = minhash_signatures(df, text_col, id_col, k)
     cands = minhash_lsh_candidates(sig_df, id_col)
     sh = spread(df).select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
     a = sh.withColumnsRenamed({"id": "id_a", "shs": "shs_a"})
