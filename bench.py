@@ -77,6 +77,12 @@ def main() -> None:
     for name in names:
         q.REGISTRY[name](spark, sf_dir).collect()
 
+    # drop warmup-persisted frames and settle the JVM heap so the first timed
+    # query doesn't absorb warmup garbage-collection debt
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(1)
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
