@@ -184,3 +184,18 @@ def test_qualified_table_names(fresh):
 
     with _pytest.raises(Exception):
         fresh.sql("SELECT * FROM qualname_t").collect()
+
+
+def test_aggregate_decimal_typing_rules(session):
+    # reference return-type rules (SURVEY §2.4): SUM keeps the input decimal
+    # family; AVG(decimal(p,s)) -> decimal(p+4, s+4)
+    # (qurious/src/logical/expr/aggregate.rs:67-93). Spark's rules match.
+    df = session.sql(
+        "SELECT SUM(CAST(v AS DECIMAL(10,2))) AS s, AVG(CAST(v AS DECIMAL(10,2))) AS a "
+        "FROM (VALUES (1.50), (2.25)) t(v)"
+    )
+    types = dict(df.dtypes)
+    assert types["s"].startswith("decimal"), types
+    assert types["a"] == "decimal(14,6)", types  # (10+4, 2+4)
+    row = df.collect()[0]
+    assert float(row.s) == 3.75 and float(row.a) == 1.875
