@@ -20,9 +20,11 @@ import pytest
 from qurious_spark.testing.slt import parse_slt_file, run_slt_file
 
 REFERENCE_SQL_DIR = "/root/reference/qurious/tests/sql"
+PROJECT_SQL_DIR = os.path.join(os.path.dirname(__file__), "sql")
 
 _files = sorted(glob.glob(os.path.join(REFERENCE_SQL_DIR, "*.slt")))
 _general = [f for f in _files if os.path.basename(f) != "tpch.slt"]
+_project = sorted(glob.glob(os.path.join(PROJECT_SQL_DIR, "*.slt")))
 
 
 @pytest.mark.skipif(not _general, reason="reference slt corpus not available")
@@ -31,6 +33,15 @@ def test_reference_slt_file(spark, slt_path):
     result = run_slt_file(slt_path, spark)
     assert result.ok, "\n".join(result.failures)
     assert result.passed == result.total
+
+
+@pytest.mark.parametrize("slt_path", _project, ids=os.path.basename)
+def test_project_slt_file(spark, slt_path):
+    """Project-authored slt files covering the beyond-reference SQL surface
+    (windows, set ops, DISTINCT, IN-subqueries, dialect shim) through the
+    same runner the reference corpus uses."""
+    result = run_slt_file(slt_path, spark)
+    assert result.ok, "\n".join(result.failures)
 
 
 @pytest.mark.skipif(
