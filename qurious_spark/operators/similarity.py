@@ -79,22 +79,90 @@ def cosine_pairs(
     )
 
 
-def ivf_assign(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
-) -> tuple[DataFrame, DataFrame]:
-    """Coarse quantizer from an existing partition column: per-label centroid
-    (posexplode + avg per dimension — one shuffle), then each vector assigned
-    to its label bucket. Returns (centroids, assigned corpus)."""
-    c = with_double_vec(corpus, vec_col)
-    cent = (
-        c.select(F.col(label_col).alias("bucket"), F.posexplode(vec_col).alias("pos", "v"))
+def _avg_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-bucket mean vector: posexplode + per-dimension avg (one shuffle)."""
+    return (
+        assigned.select("bucket", F.posexplode(vec_col).alias("pos", "v"))
         .groupBy("bucket", "pos")
         .agg(F.avg("v").alias("cv"))
         .groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
         .select("bucket", F.transform("pairs", lambda p: p["cv"]).alias("centroid"))
     )
-    return cent, c.withColumn("bucket", F.col(label_col))
+
+
+def _assign_to_centroids(
+    c: DataFrame, cent: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid bucket per vector (centroids broadcast; max_by argmax)."""
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("sim", V.cosine(F.col(vec_col), F.col("centroid")))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("bucket", F.struct(F.col("sim"), F.col("bucket"))).alias("bucket"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Distributed Lloyd iterations for the IVF coarse quantizer.
+
+    Deterministic init (first ``n_clusters`` vectors by id), then
+    assign-and-average rounds — each round is one broadcast join plus one
+    shuffle.  At 100 TB train on a sample (``sample_fraction``); the final
+    full-corpus assignment is a single broadcast pass either way.
+    """
+    c = with_double_vec(corpus, vec_col).select(id_col, vec_col)
+    if sample_fraction:
+        c = c.sample(fraction=sample_fraction, seed=42)
+    cent = (
+        c.orderBy(id_col)
+        .limit(n_clusters)
+        .withColumn("bucket", F.row_number().over(Window.orderBy(id_col)) - 1)
+        .select("bucket", F.col(vec_col).alias("centroid"))
+    )
+    for _ in range(iters):
+        cent = _avg_centroids(_assign_to_centroids(c, cent, id_col, vec_col), vec_col)
+    return cent
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantizer: str = "kmeans",
+    n_clusters: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse quantizer + bucket assignment. Returns (centroids, assigned).
+
+    ``quantizer="kmeans"`` (default) learns geometric buckets — the real IVF
+    shape.  ``quantizer="label"`` reuses an existing partition column as the
+    bucketing (cheap, but recall degrades to ~nprobe/n_buckets when the
+    column is uncorrelated with vector geometry).
+    """
+    c = with_double_vec(corpus, vec_col)
+    if quantizer == "label":
+        cent = _avg_centroids(
+            c.select(F.col(label_col).alias("bucket"), F.col(vec_col)), vec_col
+        )
+        return cent, c.withColumn("bucket", F.col(label_col))
+    from pyspark import StorageLevel
+
+    cent = kmeans_centroids(c, n_clusters, id_col=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # read by the corpus assignment AND every query's probe ranking
+    assigned = _assign_to_centroids(c, cent, id_col, vec_col)
+    return cent, assigned
 
 
 def ivf_topk(
@@ -105,11 +173,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    quantizer: str = "kmeans",
+    n_clusters: int = 16,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest centroid buckets per query, then
     exact-rank within the probed slice. The bucket join replaces the full
     cross join — candidate set shrinks by ~(nprobe / n_buckets)."""
-    cent, assigned = ivf_assign(corpus, id_col, vec_col, label_col)
+    cent, assigned = ivf_assign(corpus, id_col, vec_col, label_col, quantizer, n_clusters)
     q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

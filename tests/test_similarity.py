@@ -1,0 +1,45 @@
+"""ANN quality: IVF recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from qurious_spark.operators.similarity import brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from qurious_spark.sources.readers import read_parquet
+
+    return read_parquet(spark, f"{SF}/embeddings.parquet")
+
+
+def _topk_sets(rows):
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    queries = embeddings.limit(20)
+    exact = _topk_sets(brute_force_topk(embeddings, queries, k=5).collect())
+    approx = _topk_sets(ivf_topk(embeddings, queries, k=5, nprobe=3).collect())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # label-derived coarse buckets with nprobe=3 of ~n_labels buckets: the
+    # probed slice must recover most exact neighbors
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_ivf_probes_fraction_of_corpus(spark, embeddings):
+    # the candidate set per query must be a strict subset of the corpus —
+    # that reduction is the entire point of IVF at scale
+    n_buckets = embeddings.select("label").distinct().count()
+    assert n_buckets >= 3  # nprobe=1 below probes ~1/n_buckets of the corpus
+    queries = embeddings.limit(5)
+    approx = ivf_topk(embeddings, queries, k=5, nprobe=1).collect()
+    assert len(approx) > 0
