@@ -135,3 +135,28 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain a stream to a parquet sink with exactly-once file commits.
+
+    The checkpoint directory carries offsets + sink commit log, so a killed
+    job resumes without duplicating output — the production sink shape
+    (memory sinks are for tests). availableNow processes everything
+    currently available and terminates, giving incremental-batch semantics
+    on the same code path as a continuous run.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -173,3 +173,18 @@ def test_stream_stream_interval_join(spark, events_stream, events_dir):
         ).count()
     )
     assert n_stream == n_batch
+
+
+def test_stream_to_parquet_sink_exactly_once(spark, events_stream, events_dir, tmp_path):
+    from qurious_spark.streaming import run_to_parquet
+    from qurious_spark.streaming.dedup import stream_dedup_exact
+    from qurious_spark.sources.readers import read_parquet
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    deduped = stream_dedup_exact(events_stream, text_col="event_type")
+    run_to_parquet(deduped, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == read_parquet(spark, EVENTS_PATH).select("event_type").distinct().count()
+    # re-running with the same checkpoint must be a no-op (offsets committed)
+    run_to_parquet(stream_dedup_exact(events_stream, text_col="event_type"), out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n1
