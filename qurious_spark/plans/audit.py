@@ -41,6 +41,7 @@ ALLOW_PYTHON = {
     "multimodal_image_features",
     "multimodal_frame_sample",
     "dedup_minhash_ml",
+    "udf_vectorized",  # the pandas_udf surface itself — Arrow-batched by design
 }
 
 
