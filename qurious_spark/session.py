@@ -65,7 +65,10 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
         return (
             SparkSession.builder.appName(app_name)
             .master(master)
-            .config("spark.sql.shuffle.partitions", cpus)
+            .config(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus),
+            )
             .config("spark.default.parallelism", cpus)
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
