@@ -120,10 +120,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(table(spark, sf_dir, "documents"))
 
 
-@df_query(
-    "dedup_minhash_pairs",
-    f"""
-    WITH {_duck_sigs_cte()},
+def _duck_pairs_ctes() -> str:
+    """sigs + LSH candidates + verified-jaccard CTEs (shared by the pair
+    query and the cluster-resolution queries)."""
+    return f"""{_duck_sigs_cte()},
     cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sigs a, sigs b
@@ -136,12 +136,89 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cands
         JOIN sh sa ON sa.doc_id = id_a
         JOIN sh sb ON sb.doc_id = id_b
-    )
+    )"""
+
+
+@df_query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_duck_pairs_ctes()}
     SELECT id_a, id_b, jaccard FROM verif WHERE jaccard >= {THRESH}
     """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(table(spark, sf_dir, "documents"), threshold=THRESH)
+
+
+# --------------------------------------------------------------------------- #
+# Cluster resolution: pairs -> connected components -> canonical docs.
+# Spark side is alternating large-star/small-star (operators/components.py);
+# the DuckDB oracle computes the same transitive closure with a recursive
+# min-label walk (pruned: a label only propagates to larger node ids, which
+# cannot drop the component minimum).
+# --------------------------------------------------------------------------- #
+
+_DUCK_CC_CTES = f"""
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM verif WHERE jaccard >= {THRESH}
+        UNION
+        SELECT id_b AS u, id_a AS v FROM verif WHERE jaccard >= {THRESH}
+    ),
+    walk(node, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.lbl < e.v
+    ),
+    cc AS (SELECT node, MIN(lbl) AS cluster_id FROM walk GROUP BY node)"""
+
+
+@df_query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_duck_pairs_ctes()},
+    {_DUCK_CC_CTES}
+    SELECT cc.node AS doc_id, cc.cluster_id, sz.cluster_size
+    FROM cc
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) sz
+      USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.components import duplicate_clusters
+
+    pairs = D.minhash_dedup_pairs(table(spark, sf_dir, "documents"), threshold=THRESH)
+    return duplicate_clusters(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+@df_query(
+    "dedup_resolve",
+    f"""
+    WITH RECURSIVE {_duck_pairs_ctes()},
+    {_DUCK_CC_CTES}
+    SELECT COUNT(*) AS kept_docs, CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+    """,
+)
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.components import resolve_duplicates
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=THRESH)
+    kept = resolve_duplicates(docs, pairs)
+    return kept.agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
 
 
 def _duck_simhash() -> str:
