@@ -1,0 +1,60 @@
+"""Sketch-aggregate queries (see functions/sketches.py).
+
+``sketch_quantiles`` runs ``percentile_approx`` in exact mode
+(accuracy >> n at test scale) so it is oracle-checkable against DuckDB's
+``quantile_disc``; the HLL estimates use engine-private hashing that no
+other engine reproduces, so those two are registered rows-only — their
+error bounds and merge-consistency are asserted in tests/test_sketches.py
+instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qurious_spark.functions import sketches as S
+from qurious_spark.queries import df_query, ensure_views, sql_query
+
+# Exact-mode approximate quantiles: discrete median/p90 per order priority.
+sql_query(
+    "sketch_quantiles",
+    """
+    SELECT o_orderpriority,
+           percentile_approx(o_totalprice, 0.5, 1000000) AS med_price,
+           percentile_approx(o_totalprice, 0.9, 1000000) AS p90_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    """
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS med_price,
+           quantile_disc(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+@df_query("sketch_approx_distinct", None)  # HLL++ values are engine-private
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(S.approx_distinct("o_custkey", rsd=0.01).alias("approx_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@df_query("sketch_hll_rollup", None)  # DataSketches binary state, rows-only
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-rollup pattern: per-priority sketches built once, then
+    re-aggregated by union without touching the base table again."""
+    ensure_views(spark, sf_dir)
+    per_group = (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(S.hll_sketch("o_custkey").alias("sk"))
+    )
+    return per_group.agg(
+        S.hll_estimate(S.hll_merge("sk")).alias("distinct_customers_est")
+    )
