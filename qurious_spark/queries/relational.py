@@ -636,3 +636,45 @@ sql_query(
     FROM orders WHERE o_orderkey < 400
     """,
 )
+
+
+@df_query(
+    "range_join_binned",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS pairs,
+           ROUND(SUM(l_quantity), 4) AS qty_sum
+    FROM lineitem
+    JOIN orders
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via bin bucketing (operators/rangejoin.py):
+    shipments landing inside each order's 7-day window, per priority.
+    The naive BETWEEN condition would plan a BroadcastNestedLoopJoin."""
+    from qurious_spark.operators.rangejoin import range_join
+
+    day = 86400.0
+    points = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", F.unix_timestamp("l_shipdate").alias("p")
+    )
+    intervals = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.unix_timestamp("o_orderdate").alias("s"),
+        (F.unix_timestamp("o_orderdate") + F.lit(7 * day)).alias("e"),
+    )
+    joined = range_join(
+        points, intervals, F.col("p"), F.col("s"), F.col("e"), bin_width=7 * day
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("pairs"),
+            F.round(F.sum("l_quantity"), 4).alias("qty_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
