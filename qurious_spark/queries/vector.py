@@ -117,3 +117,43 @@ register(
     ),
     None,
 )
+
+
+@df_query(
+    "embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id AND ROUND({_cos('a.v', 'b.v')}, 6) >= {COS_THRESH}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e2.v, w.lbl FROM walk w JOIN edges e2 ON e2.u = w.node
+        WHERE w.lbl < e2.v
+    ),
+    cc AS (SELECT node, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT cc.node AS vec_id, cc.cluster_id, sz.cluster_size
+    FROM cc
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) sz
+      USING (cluster_id)
+    """,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over embedding-cosine pairs — the same
+    large-star/small-star resolver as dedup_clusters (pair-source-agnostic;
+    operators/components.py)."""
+    from qurious_spark.operators.components import duplicate_clusters
+
+    pairs = S.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=COS_THRESH)
+    return duplicate_clusters(pairs).select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
