@@ -31,6 +31,7 @@ ALLOW_NON_EQUI = {
     "cross_join",
     "join_non_equi",
     "embedding_cosine_pairs",  # all-pairs similarity is a deliberate cross join at bounded n
+    "embedding_dup_clusters",  # fed by the same all-pairs cosine emitter
     "ann_topk_bruteforce",  # query-point x corpus scoring
     "ann_ivf_topk",
     "dedup_minhash_ml",  # MLlib approxSimilarityJoin internals

@@ -87,3 +87,4 @@ def load_all() -> None:
     import qurious_spark.queries.session_dml  # noqa: F401
     import qurious_spark.queries.multimodal  # noqa: F401
     import qurious_spark.queries.sketches  # noqa: F401
+    import qurious_spark.queries.sampling  # noqa: F401
