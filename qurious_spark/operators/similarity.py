@@ -165,6 +165,109 @@ def ivf_assign(
     return cent, assigned
 
 
+def srp_planes(
+    dim: int, n_tables: int, n_bits: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic ±1 sign-random-projection hyperplanes.
+
+    ``planes[t][j]`` is the j-th hyperplane of hash table t. Components are
+    ±1.0 drawn from a seeded PRNG so the SAME planes can be interpolated as
+    literals into both the Spark plan and the DuckDB oracle SQL — making the
+    LSH bucketing exactly reproducible across engines (±1 products are exact
+    in double precision; only the summation order matters, and both engines
+    fold left-to-right).
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _srp_key(vec, table_planes: list[list[float]]):
+    """Bucket key for one hash table: n_bits sign bits packed into a bigint.
+
+    Stays entirely in JVM expressions (zip_with/aggregate fold) — no UDF; the
+    per-row cost is n_bits dot products of a small literal array.
+    """
+    key = F.lit(0).cast("bigint")
+    for j, plane in enumerate(table_planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(V.dot(vec, lit_plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        key = key + bit.cast("bigint")
+    return key
+
+
+def _srp_keyed(df: DataFrame, id_out: str, planes, id_col: str, vec_col: str) -> DataFrame:
+    """(id, t, key) — one row per (vector, hash table), computed in one pass."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), _srp_key(F.col(vec_col), planes[t]).alias("key")
+            )
+            for t in range(len(planes))
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_out), F.explode(entries).alias("tk")).select(
+        id_out, F.col("tk.t").alias("t"), F.col("tk.key").alias("key")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH ANN (the bucketed alternative to IVF): a vector is a candidate
+    for a query iff they share a bucket in ANY of ``n_tables`` sign-random-
+    projection hash tables; candidates are exact-reranked by cosine.
+
+    Scale shape: corpus keys are computed in one narrow pass (no shuffle),
+    the candidate join is equi on (table, key) with the small query side
+    broadcast, dedup shuffles only (query_id, neighbor_id) pairs, and the
+    rerank re-joins vectors by id. The full cross join never materializes —
+    candidate volume is ~n_tables * corpus/2^n_bits rows per query.
+
+    Greenfield (reference has no vector surface); recall tunable via
+    (n_tables, n_bits): more tables -> recall up, more bits -> precision up.
+    """
+    planes = srp_planes(dim, n_tables, n_bits, seed)
+    c = with_double_vec(corpus, vec_col).select(id_col, vec_col)
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    ck = _srp_keyed(c, "neighbor_id", planes, id_col, vec_col)
+    qk = _srp_keyed(q, "query_id", planes, "query_id", "qv")
+    cand = (
+        ck.join(F.broadcast(qk), ["t", "key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            c.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

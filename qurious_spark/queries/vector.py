@@ -106,6 +106,72 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_TABLES, LSH_BITS, LSH_DIM, LSH_SEED = 8, 6, 64, 42
+
+
+def _duck_srp_key(v: str, table_planes: list[list[float]]) -> str:
+    """DuckDB expression for one table's packed sign-bit key — same ±1
+    planes, same left-to-right double fold as the Spark side."""
+    terms = []
+    for j, plane in enumerate(table_planes):
+        lit = "[" + ",".join(f"{x:.1f}" for x in plane) + "]"
+        terms.append(f"(CASE WHEN list_dot_product({v}, {lit}) >= 0 THEN {2**j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_oracle() -> str:
+    from qurious_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(LSH_DIM, LSH_TABLES, LSH_BITS, LSH_SEED)
+    key_cols = ",\n           ".join(
+        f"({_duck_srp_key('v', planes[t])}) AS k{t}" for t in range(LSH_TABLES)
+    )
+    any_match = " OR ".join(f"q.k{t} = c.k{t}" for t in range(LSH_TABLES))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    keys AS (
+        SELECT vec_id, v,
+           {key_cols}
+        FROM e
+    ),
+    q AS (SELECT * FROM keys WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM q JOIN keys c ON ({any_match})
+        WHERE c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND({_cos('qe.v', 'ce.v')}, 6) AS sim
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ce ON ce.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 10
+    """
+
+
+@df_query("ann_lsh_topk", _lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN — candidate set is exactly reproducible in the
+    oracle because the ±1 hyperplanes are seeded literals on both sides."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_tables=LSH_TABLES,
+        n_bits=LSH_BITS,
+        dim=LSH_DIM,
+        seed=LSH_SEED,
+    )
+
+
 # IVF ANN: scale path (bucketed probe). Recall < 1 by design → rows-only.
 register(
     "ann_ivf_topk",

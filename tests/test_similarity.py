@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from qurious_spark.operators.similarity import brute_force_topk, ivf_topk
+from qurious_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 
 SF = "/root/testdata/sf0.001"
 
@@ -33,6 +33,28 @@ def test_ivf_recall_vs_bruteforce(spark, embeddings):
     # label-derived coarse buckets with nprobe=3 of ~n_labels buckets: the
     # probed slice must recover most exact neighbors
     assert recall >= 0.6, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_lsh_recall_vs_bruteforce(spark, embeddings):
+    queries = embeddings.limit(20)
+    exact = _topk_sets(brute_force_topk(embeddings, queries, k=5).collect())
+    # few bits at this tiny SF (50 vecs) so buckets actually collide; the
+    # sf0.01/sf0.1 oracle run exercises the registry's 8x6 configuration
+    approx = _topk_sets(lsh_topk(embeddings, queries, k=5, n_tables=8, n_bits=3).collect())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall@5 too low: {recall:.2f}"
+
+
+def test_lsh_candidates_are_reduced(spark, embeddings):
+    # a query's candidate set must be a strict subset of the corpus; with
+    # b bits per table a bucket holds ~N/2^b vectors, x n_tables tables
+    n = embeddings.count()
+    queries = embeddings.limit(5)
+    res = lsh_topk(embeddings, queries, k=n, n_tables=4, n_bits=4)
+    per_query = res.groupBy("query_id").count().collect()
+    assert per_query and all(r["count"] < n - 1 for r in per_query)
 
 
 def test_ivf_probes_fraction_of_corpus(spark, embeddings):
