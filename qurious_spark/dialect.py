@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 @dataclass
 class DdlDmlStatement:
-    kind: str  # create_table | drop_table | insert | delete | update | copy_from
+    kind: str  # create_table | drop_table | insert | delete | update | copy_from | merge
     table: str = ""
     if_exists: bool = False
     if_not_exists: bool = False
@@ -41,6 +41,26 @@ class DdlDmlStatement:
     assignments: dict[str, str] = field(default_factory=dict)
     path: str = ""
     options: dict[str, object] = field(default_factory=dict)
+    # MERGE-only fields
+    alias: str | None = None
+    source: str = ""  # table name or subquery text
+    source_is_query: bool = False
+    source_alias: str | None = None
+    on_cond: str = ""
+    clauses: list["MergeClause"] = field(default_factory=list)
+
+
+@dataclass
+class MergeClause:
+    """One WHEN [NOT] MATCHED [AND cond] THEN <action> arm, in statement
+    order (first matching arm wins, per the SQL standard)."""
+
+    matched: bool
+    cond: str | None  # the AND refinement, if any
+    action: str  # update | delete | insert
+    assignments: dict[str, str] = field(default_factory=dict)  # update
+    insert_columns: list[str] | None = None  # insert; None = INSERT *
+    insert_values: list[str] | None = None  # insert; None = INSERT *
 
 
 # SQL type -> Spark type, per the reference mapping
@@ -108,6 +128,10 @@ _COPY_TO_RE = re.compile(
 def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
     """Recognize DDL/DML statements the Session executes itself; return None
     for plain queries (handed to Spark SQL)."""
+    stmt = _parse_merge(text)
+    if stmt is not None:
+        return stmt
+
     m = _COPY_RE.match(text)
     if m:
         opts: dict[str, object] = {}
@@ -206,6 +230,106 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
         )
 
     return None
+
+
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+",
+    re.IGNORECASE,
+)
+_MERGE_WHEN_RE = re.compile(r"\bWHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
+
+
+def _parse_merge(text: str) -> DdlDmlStatement | None:
+    """MERGE INTO t [alias] USING (src|query) [alias] ON cond WHEN ... —
+    upsert DML absent from the reference (its DML stops at INSERT/DELETE,
+    qurious/src/execution/session.rs:128-151); standard SQL:2003 semantics."""
+    m = _MERGE_HEAD_RE.match(text)
+    if not m:
+        return None
+    stmt = DdlDmlStatement(kind="merge", table=m.group(1), alias=m.group(2))
+    rest = text[m.end() :]
+    if rest.lstrip().startswith("("):
+        rest = rest.lstrip()
+        depth = 0
+        end = -1
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError("MERGE: unbalanced parens in USING source")
+        stmt.source = rest[1:end].strip()
+        stmt.source_is_query = True
+        rest = rest[end + 1 :]
+    else:
+        m2 = re.match(r"\s*([\w.]+)", rest)
+        if not m2:
+            raise ValueError("MERGE: missing USING source")
+        stmt.source = m2.group(1)
+        rest = rest[m2.end() :]
+    m3 = re.match(
+        r"\s*(?:(?:AS\s+)?(?!ON\b)(\w+)\s+)?ON\s+(.*)$", rest, re.IGNORECASE | re.DOTALL
+    )
+    if not m3:
+        raise ValueError("MERGE: missing ON condition")
+    stmt.source_alias = m3.group(1)
+    tail = m3.group(2)
+    whens = list(_MERGE_WHEN_RE.finditer(tail))
+    if not whens:
+        raise ValueError("MERGE: at least one WHEN clause required")
+    stmt.on_cond = tail[: whens[0].start()].strip()
+    for i, w in enumerate(whens):
+        seg_end = whens[i + 1].start() if i + 1 < len(whens) else len(tail)
+        seg = tail[w.end() : seg_end].strip().rstrip(";").strip()
+        stmt.clauses.append(_parse_merge_clause(matched=not w.group(1), seg=seg))
+    return stmt
+
+
+def _parse_merge_clause(matched: bool, seg: str) -> MergeClause:
+    m = re.match(r"(?:AND\s+(.*?)\s+)?THEN\s+(.*)$", seg, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"MERGE: cannot parse WHEN clause: {seg!r}")
+    cond, action_text = m.group(1), m.group(2).strip()
+    up = action_text.upper()
+    if up.startswith("DELETE"):
+        if not matched:
+            raise ValueError("MERGE: WHEN NOT MATCHED cannot DELETE")
+        return MergeClause(matched=matched, cond=cond, action="delete")
+    if up.startswith("UPDATE"):
+        if not matched:
+            raise ValueError("MERGE: WHEN NOT MATCHED cannot UPDATE")
+        mu = re.match(r"UPDATE\s+SET\s+(.*)$", action_text, re.IGNORECASE | re.DOTALL)
+        if not mu:
+            raise ValueError(f"MERGE: cannot parse UPDATE action: {action_text!r}")
+        assignments: dict[str, str] = {}
+        for part in _split_top_level_commas(mu.group(1)):
+            k, _, v = part.partition("=")
+            # allow `t.col = expr`; the target column is the bare name
+            assignments[k.strip().split(".")[-1]] = v.strip()
+        return MergeClause(matched=matched, cond=cond, action="update", assignments=assignments)
+    if up.startswith("INSERT"):
+        if matched:
+            raise ValueError("MERGE: WHEN MATCHED cannot INSERT")
+        body = action_text[len("INSERT") :].strip()
+        if body == "*" or body == "":
+            return MergeClause(matched=matched, cond=cond, action="insert")
+        mi = re.match(r"(\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$", body, re.IGNORECASE | re.DOTALL)
+        if not mi:
+            raise ValueError(f"MERGE: cannot parse INSERT action: {action_text!r}")
+        cols = None
+        if mi.group(2):
+            cols = [c.strip().split(".")[-1] for c in mi.group(2).split(",") if c.strip()]
+        vals = [v.strip() for v in _split_top_level_commas(mi.group(3))]
+        if cols is not None and len(cols) != len(vals):
+            raise ValueError("MERGE: INSERT column/value count mismatch")
+        return MergeClause(
+            matched=matched, cond=cond, action="insert", insert_columns=cols, insert_values=vals
+        )
+    raise ValueError(f"MERGE: unknown action: {action_text!r}")
 
 
 def _parse_column_defs(body: str) -> list[tuple[str, str, object]]:

@@ -39,6 +39,62 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "merge_upsert",
+    """
+    WITH src AS (
+      SELECT CAST(n_regionkey AS BIGINT) AS k, CAST(COUNT(*) AS DOUBLE) AS amt
+      FROM nation WHERE n_nationkey < 13 AND n_regionkey <> 2 GROUP BY n_regionkey
+      UNION ALL SELECT 77, 3.0
+    ),
+    tgt AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+             CAST(0.0 AS DOUBLE) AS total
+      FROM region
+    )
+    SELECT t.k, t.name,
+           CASE WHEN s.k IS NOT NULL AND s.amt > 2.5 THEN s.amt ELSE t.total END AS total
+    FROM tgt t LEFT JOIN src s ON t.k = s.k
+    WHERE s.k IS NULL OR s.amt > 2.5
+    UNION ALL
+    SELECT s.k, 'new' AS name, s.amt AS total
+    FROM src s LEFT JOIN tgt t ON t.k = s.k
+    WHERE t.k IS NULL
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 MERGE INTO (update/delete/insert arms, first-match-wins) on a
+    managed table; the oracle restates the same final table state as a
+    left-join + anti-join union — exactly the plan shape the session builds."""
+    from qurious_spark.queries import ensure_views
+    from qurious_spark.session import Session
+
+    ensure_views(spark, sf_dir)
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS merge_t")
+    s.sql(
+        """CREATE TABLE merge_t AS
+           SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+                  CAST(0.0 AS DOUBLE) AS total
+           FROM region"""
+    )
+    s.sql(
+        """
+        MERGE INTO merge_t t
+        USING (SELECT CAST(n_regionkey AS BIGINT) AS k,
+                      CAST(COUNT(*) AS DOUBLE) AS amt
+               FROM nation WHERE n_nationkey < 13 AND n_regionkey <> 2
+               GROUP BY n_regionkey
+               UNION ALL SELECT CAST(77 AS BIGINT), CAST(3.0 AS DOUBLE)) s
+        ON t.k = s.k
+        WHEN MATCHED AND s.amt > 2.5 THEN UPDATE SET total = s.amt
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, name, total) VALUES (s.k, 'new', s.amt)
+        """
+    )
+    return s.sql("SELECT k, name, total FROM merge_t")
+
+
+@df_query(
     "udf_vectorized",
     """
     SELECT l_orderkey, l_linenumber,

@@ -318,6 +318,8 @@ class Session:
             mt.update_set(stmt.assignments, stmt.predicate)
             self._put_table(mt.name, mt)
             return self._count_df(0)
+        if kind == "merge":
+            return self._execute_merge(stmt)
         if kind == "copy_to":
             df = self.table(stmt.table)
             fmt = stmt.options.get("format", "parquet")
@@ -347,6 +349,108 @@ class Session:
             self._put_table(mt.name, mt)
             return self._count_df(n)
         raise ValueError(f"unsupported statement kind: {kind}")
+
+    def _execute_merge(self, stmt: DdlDmlStatement) -> DataFrame:
+        """MERGE INTO: SQL:2003 upsert over a managed table (beyond the
+        reference, whose DML stops at INSERT/DELETE — session.rs:128-151).
+
+        Plan shape (scale): ONE left outer join on the merge condition
+        handles every MATCHED arm (first-match-wins via a single when-chain
+        per column), ONE left anti join produces the NOT MATCHED inserts;
+        both are key-equi joins Catalyst can run as broadcast or shuffle
+        hash. No collect; the new table state stays a lazy plan.
+        """
+        mt = self._get_managed(stmt.table)
+        talias = stmt.alias or "t"
+        salias = stmt.source_alias or "s"
+        src = self.sql(stmt.source) if stmt.source_is_query else self.table(stmt.source)
+        if "__m" in src.columns:
+            raise ValueError("MERGE: source may not contain a __m column")
+        cond = F.expr(stmt.on_cond)
+        target = mt.df.alias(talias)
+        source = src.withColumn("__m", F.lit(True)).alias(salias)
+
+        # SQL-standard cardinality check: a target row may match at most one
+        # source row (nondeterministic update otherwise). One count job.
+        dup = (
+            mt.df.withColumn("__tid", F.monotonically_increasing_id())
+            .alias(talias)
+            .join(source, cond, "inner")
+            .groupBy("__tid")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError("MERGE: a target row matched more than one source row")
+
+        joined = target.join(source, cond, "left")
+        matched = F.col(f"{salias}.__m").isNotNull()
+        m_clauses = [c for c in stmt.clauses if c.matched]
+        nm_clauses = [c for c in stmt.clauses if not c.matched]
+
+        # winning MATCHED arm per row (first match wins), -1 = no arm applies
+        winner = F.lit(-1)
+        chain = None
+        for i, c in enumerate(m_clauses):
+            arm = matched & (F.expr(c.cond) if c.cond else F.lit(True))
+            chain = (chain.when(arm, i) if chain is not None else F.when(arm, i))
+        if chain is not None:
+            winner = chain.otherwise(F.lit(-1))
+        joined = joined.withColumn("__w", winner)
+        delete_arms = [i for i, c in enumerate(m_clauses) if c.action == "delete"]
+        kept = joined
+        if delete_arms:
+            kept = joined.filter(~F.col("__w").isin(delete_arms))
+        out_cols = []
+        for field in mt.df.schema:
+            val = F.col(f"{talias}.{field.name}")
+            upd = None
+            for i, c in enumerate(m_clauses):
+                if c.action == "update" and field.name in c.assignments:
+                    v = F.expr(c.assignments[field.name]).cast(field.dataType)
+                    upd = (upd.when(F.col("__w") == i, v) if upd is not None
+                           else F.when(F.col("__w") == i, v))
+            out_cols.append((upd.otherwise(val) if upd is not None else val).alias(field.name))
+        updated = kept.select(*out_cols)
+
+        # NOT MATCHED side: anti-join source against target, then the
+        # first applicable insert arm builds each target column.
+        inserted = None
+        if nm_clauses:
+            anti = src.alias(salias).join(target, cond, "left_anti")
+            nm_winner = None
+            for i, c in enumerate(nm_clauses):
+                arm = F.expr(c.cond) if c.cond else F.lit(True)
+                nm_winner = (nm_winner.when(arm, i) if nm_winner is not None
+                             else F.when(arm, i))
+            anti = anti.withColumn("__w", nm_winner.otherwise(F.lit(-1))).filter(
+                F.col("__w") >= 0
+            )
+            ins_cols = []
+            for field in mt.df.schema:
+                per_arm = None
+                for i, c in enumerate(nm_clauses):
+                    if c.insert_values is None:  # INSERT *
+                        v = (F.col(f"{salias}.{field.name}") if field.name in src.columns
+                             else F.lit(mt.defaults.get(field.name)))
+                    else:
+                        cols = c.insert_columns or [f.name for f in mt.df.schema]
+                        if field.name in cols:
+                            v = F.expr(c.insert_values[cols.index(field.name)])
+                        else:
+                            v = F.lit(mt.defaults.get(field.name))
+                    v = v.cast(field.dataType)
+                    per_arm = (per_arm.when(F.col("__w") == i, v) if per_arm is not None
+                               else F.when(F.col("__w") == i, v))
+                ins_cols.append(per_arm.alias(field.name))
+            inserted = anti.select(*ins_cols)
+
+        mt.df = updated.unionByName(inserted) if inserted is not None else updated
+        mt._bump()
+        self._put_table(mt.name, mt)
+        return self._count_df(src.count())
 
     def _get_managed(self, name: str) -> ManagedTable:
         key = self._normalize_name(name)

@@ -199,3 +199,54 @@ def test_aggregate_decimal_typing_rules(session):
     assert types["a"] == "decimal(14,6)", types  # (10+4, 2+4)
     row = df.collect()[0]
     assert float(row.s) == 3.75 and float(row.a) == 1.875
+
+
+def test_merge_upsert(fresh):
+    # SQL:2003 MERGE: update / delete / insert arms, first-match-wins
+    fresh.sql("CREATE TABLE m_tgt (k BIGINT, name VARCHAR, total DOUBLE)")
+    fresh.sql("INSERT INTO m_tgt VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    fresh.sql("CREATE TABLE m_src (k BIGINT, amt DOUBLE)")
+    fresh.sql("INSERT INTO m_src VALUES (1, 100.0), (2, 1.0), (9, 9.0)")
+    fresh.sql(
+        """
+        MERGE INTO m_tgt t USING m_src s ON t.k = s.k
+        WHEN MATCHED AND s.amt > 50 THEN UPDATE SET total = s.amt
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, name, total) VALUES (s.k, 'new', s.amt)
+        """
+    )
+    rows = fresh.sql("SELECT k, name, total FROM m_tgt ORDER BY k").collect()
+    # k=1 updated (amt>50), k=2 deleted, k=3 untouched, k=9 inserted
+    assert [(r.k, r.name, r.total) for r in rows] == [
+        (1, "a", 100.0),
+        (3, "c", 30.0),
+        (9, "new", 9.0),
+    ]
+
+
+def test_merge_insert_star_and_subquery_source(fresh):
+    fresh.sql("CREATE TABLE m2_tgt (k BIGINT, v BIGINT)")
+    fresh.sql("INSERT INTO m2_tgt VALUES (1, 1)")
+    fresh.sql(
+        """
+        MERGE INTO m2_tgt t
+        USING (SELECT 1 AS k, 5 AS v UNION ALL SELECT 7 AS k, 70 AS v) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    rows = fresh.sql("SELECT k, v FROM m2_tgt ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 6), (7, 70)]
+
+
+def test_merge_multiple_match_error(fresh):
+    fresh.sql("CREATE TABLE m3_tgt (k BIGINT)")
+    fresh.sql("INSERT INTO m3_tgt VALUES (1)")
+    fresh.sql("CREATE TABLE m3_src (k BIGINT)")
+    fresh.sql("INSERT INTO m3_src VALUES (1), (1)")
+    with pytest.raises(ValueError, match="more than one source row"):
+        fresh.sql(
+            "MERGE INTO m3_tgt t USING m3_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k"
+        )
