@@ -58,3 +58,27 @@ def approx_quantiles(
     return F.percentile_approx(
         col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
     )
+
+
+def count_min(col: Column | str, eps: float = 0.001, confidence: float = 0.99,
+              seed: int = 42) -> Column:
+    """Mergeable count-min sketch state (binary). Point-frequency estimates
+    overcount by at most eps*n with the given confidence; width = ceil(2/eps),
+    depth = ceil(ln(1/(1-confidence))) — constant size regardless of input.
+    Build per group/partition, persist, probe later via ``cms_estimate``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.count_min_sketch(c, F.lit(eps), F.lit(confidence), F.lit(seed))
+
+
+def cms_estimate(spark, sketch_bytes: bytes, item) -> int:
+    """Probe a serialized count-min sketch for one item's frequency estimate.
+
+    Driver-side by design: the sketch is kilobytes; the pattern is
+    build-distributed / probe-cheap (same JVM CountMinSketch impl that
+    built it, so estimates are self-consistent)."""
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytearray(sketch_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    if isinstance(item, str):
+        return cms.estimateCount(jvm.java.lang.String(item))
+    return cms.estimateCount(jvm.java.lang.Long(int(item)))

@@ -1,0 +1,88 @@
+"""Heavy hitters: exact frequent-key detection without a full-key shuffle.
+
+The naive plan — ``groupBy(key).count().filter(freq >= r*n)`` — shuffles
+every distinct key; at 100 TB with high-cardinality keys (user ids, URLs)
+the shuffle IS the cost even though the answer is a handful of rows. This
+operator uses the classic two-pass trick:
+
+1. **Candidates** (narrow, zero shuffle): each input partition runs a
+   Misra-Gries / Space-Saving summary with ``capacity`` counters over
+   Arrow batches (vectorized ``value_counts`` per batch + the mergeable-
+   summaries decrement rule of Agarwal et al., "Mergeable Summaries").
+   Pigeonhole guarantee: any key with global frequency > n/capacity
+   exceeds the per-partition threshold in at least one partition, so the
+   union of partition candidates is a SUPERSET of the true heavy hitters
+   for threshold ratio >= 1/capacity (we default capacity = 2/ratio for
+   margin). Candidate volume is <= capacity * numPartitions rows, not
+   the distinct-key count.
+2. **Exact recount** (tiny shuffle): broadcast-semi-join the input to the
+   candidate keys, exact-count only those, keep freq >= ratio * n.
+
+The result is EXACT (no false positives or negatives), which is what
+makes it DuckDB-oracle-able — the approximation only bounds the candidate
+set size.
+
+Beyond-reference scope (the reference has only exact COUNT/SUM/MIN/MAX/AVG,
+qurious/src/logical/expr/aggregate.rs:59-65).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(key_col: str, capacity: int):
+    """mapInPandas fn: one Misra-Gries summary per partition."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: "pd.Series | None" = None
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > capacity:
+                # mergeable-summaries decrement: subtract the (capacity+1)-th
+                # largest count from everyone, drop the non-positive
+                kth = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters - kth
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame({key_col: counters.index})
+
+    return fn
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_freq_ratio: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact keys with frequency >= min_freq_ratio * count(df).
+
+    Returns (key_col, freq bigint). ``capacity`` is the per-partition
+    counter budget (default 2/ratio — must be >= 1/ratio for the
+    superset guarantee).
+    """
+    if not (0 < min_freq_ratio <= 1):
+        raise ValueError("min_freq_ratio must be in (0, 1]")
+    capacity = capacity or math.ceil(2.0 / min_freq_ratio)
+    if capacity < math.ceil(1.0 / min_freq_ratio):
+        raise ValueError("capacity below 1/min_freq_ratio loses the superset guarantee")
+    keyed = df.select(key_col)
+    schema = keyed.schema
+    candidates = (
+        keyed.mapInPandas(_mg_candidates(key_col, capacity), schema=schema)
+        .distinct()
+    )
+    n = df.count()
+    return (
+        keyed.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq").cast("double") >= F.lit(float(min_freq_ratio) * n))
+    )

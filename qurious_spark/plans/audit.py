@@ -43,6 +43,7 @@ ALLOW_PYTHON = {
     "multimodal_frame_sample",
     "dedup_minhash_ml",
     "udf_vectorized",  # the pandas_udf surface itself — Arrow-batched by design
+    "heavy_hitters_events",  # Misra-Gries candidate pass is mapInPandas by design
 }
 
 

@@ -34,6 +34,29 @@ sql_query(
 )
 
 
+@df_query(
+    "heavy_hitters_events",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM events
+    GROUP BY event_type
+    HAVING CAST(COUNT(*) AS DOUBLE)
+           >= CAST(0.199 AS DOUBLE) * (SELECT COUNT(*) FROM events)
+    ORDER BY event_type
+    """,
+)
+def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact heavy hitters (operators/heavyhitters.py): Misra-Gries
+    candidates per partition (zero shuffle), exact recount of candidates
+    only. Exact output -> full value-hash oracle; with 5 event types and
+    ratio 0.199 the pigeonhole principle guarantees >= 1 row at any SF."""
+    from qurious_spark.operators.heavyhitters import heavy_hitters
+    from qurious_spark.queries import table
+
+    ev = table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", 0.199).orderBy("event_type")
+
+
 @df_query("sketch_approx_distinct", None)  # HLL++ values are engine-private
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
