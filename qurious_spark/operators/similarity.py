@@ -28,22 +28,44 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: queries (small, broadcast) x corpus, ranked.
 
     Rank is deterministic: (rounded similarity DESC, neighbor id ASC).
-    Self-matches are excluded.
+    Self-matches are excluded. Pass ``dim`` when the embedding width is
+    known: the dot/norm folds unroll into codegen'd arithmetic (same FP
+    order, ~10x), and each side's norm is computed once BEFORE the cross
+    join instead of once per pair.
     """
-    q = with_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    if dim is None:
+        q0 = with_double_vec(queries, vec_col)
+        c0 = with_double_vec(corpus, vec_col)
+    else:
+        q0, c0 = queries, corpus
+    q = q0.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        V.l2_norm(F.col(vec_col), dim).alias("qn"),
     )
-    c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = c0.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        V.l2_norm(F.col(vec_col), dim).alias("cn"),
     )
+    denom = F.col("qn") * F.col("cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                F.when(
+                    denom > 0, V.dot(F.col("qv"), F.col("cv"), dim) / denom
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -58,22 +80,38 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup detection).
 
     O(N^2) — exactness baseline for correctness checking; use
-    ``ivf_topk``/LSH bucketing at corpus scale.
+    ``ivf_topk``/LSH bucketing at corpus scale. ``dim`` unrolls the
+    folds into codegen and hoists norms out of the cross join.
     """
-    a = with_double_vec(df, vec_col).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    src = df if dim is not None else with_double_vec(df, vec_col)
+    a = src.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        V.l2_norm(F.col(vec_col), dim).alias("na"),
     )
-    b = with_double_vec(df, vec_col).select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    b = src.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        V.l2_norm(F.col(vec_col), dim).alias("nb"),
     )
+    denom = F.col("na") * F.col("nb")
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(V.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                F.when(
+                    denom > 0, V.dot(F.col("va"), F.col("vb"), dim) / denom
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -192,6 +230,9 @@ def _srp_key(vec, table_planes: list[list[float]]):
     Stays entirely in JVM expressions (zip_with/aggregate fold) — no UDF; the
     per-row cost is n_bits dot products of a small literal array.
     """
+    # NOTE: deliberately the HOF fold, NOT the unrolled dot — n_bits * dim
+    # unrolled terms per table key explode the codegen tree (14 MB task
+    # binaries, 2-minute compile); the fold keeps the plan constant-size.
     key = F.lit(0).cast("bigint")
     for j, plane in enumerate(table_planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
@@ -240,10 +281,8 @@ def lsh_topk(
     (n_tables, n_bits): more tables -> recall up, more bits -> precision up.
     """
     planes = srp_planes(dim, n_tables, n_bits, seed)
-    c = with_double_vec(corpus, vec_col).select(id_col, vec_col)
-    q = with_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    c = corpus.select(id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     ck = _srp_keyed(c, "neighbor_id", planes, id_col, vec_col)
     qk = _srp_keyed(q, "query_id", planes, "query_id", "qv")
     cand = (
@@ -258,7 +297,7 @@ def lsh_topk(
             "neighbor_id",
         )
         .join(F.broadcast(q), "query_id")
-        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv"), dim), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -278,6 +317,7 @@ def ivf_topk(
     label_col: str = "label",
     quantizer: str = "kmeans",
     n_clusters: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest centroid buckets per query, then
     exact-rank within the probed slice. The bucket join replaces the full
@@ -289,7 +329,7 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("bucket"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("csim", V.cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("csim", V.cosine(F.col("qv"), F.col("centroid"), dim))
         .withColumn("prank", F.row_number().over(probe_w))
         .filter(F.col("prank") <= nprobe)
         .select("query_id", "qv", "bucket")
@@ -302,7 +342,7 @@ def ivf_topk(
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        cands.withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv"), dim), 6))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
