@@ -44,6 +44,7 @@ ALLOW_PYTHON = {
     "dedup_minhash_ml",
     "udf_vectorized",  # the pandas_udf surface itself — Arrow-batched by design
     "heavy_hitters_events",  # Misra-Gries candidate pass is mapInPandas by design
+    "udaf_grouped_agg",  # the grouped-agg pandas UDF surface itself
 }
 
 

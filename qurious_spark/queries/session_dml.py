@@ -95,6 +95,45 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "udaf_grouped_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_quantity))), 4) AS geo_mean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF registered through the Session (the
+    UDAF surface the reference lacks — SURVEY.md §2.5); the oracle restates
+    the geometric mean relationally as EXP(AVG(LN(x)))."""
+    import numpy as np
+    import pandas as pd
+
+    from qurious_spark.queries import ensure_views
+    from qurious_spark.session import Session
+
+    s = Session(spark)
+
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    geo_mean.__annotations__ = {"v": pd.Series, "return": float}
+    s.register_udaf("Q_GEOMEAN", geo_mean, "double")
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(Q_GEOMEAN(l_quantity), 4) AS geo_mean_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@df_query(
     "udf_vectorized",
     """
     SELECT l_orderkey, l_linenumber,

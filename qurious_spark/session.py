@@ -200,6 +200,18 @@ class Session:
 
         self.spark.udf.register(name, pandas_udf(fn, return_type))
 
+    def register_udaf(self, name: str, fn, return_type) -> None:
+        """Register a grouped-aggregate pandas UDF (Series -> scalar), usable
+        in ``GROUP BY`` queries and ``agg()``. Beyond the reference (no UDAF
+        trait exists there — SURVEY.md §2.5); Arrow-batched like the scalar
+        path: each group's column arrives as one pandas Series per batch and
+        aggregates JVM-side-partitioned, Python-side-reduced."""
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        self.spark.udf.register(
+            name, pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+        )
+
     @staticmethod
     def _normalize_name(name: str) -> str:
         """Resolve bare/partial/full table references to the bare name —

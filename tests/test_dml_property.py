@@ -25,6 +25,11 @@ _ops = st.lists(
         st.tuples(st.just("insert"), _rows),
         st.tuples(st.just("delete"), _pred),
         st.tuples(st.just("update"), st.tuples(st.sampled_from(["x", "y", "z"]), _pred)),
+        st.tuples(
+            st.just("merge"),
+            st.tuples(st.integers(-5, 5), st.sampled_from(["x", "y", "z"])),
+        ),
+        st.tuples(st.just("merge_del"), st.integers(-5, 5)),
     ),
     min_size=1,
     max_size=5,
@@ -73,12 +78,36 @@ def test_dml_sequence_matches_model(dml_session, ops):
             op, x = arg
             s.sql(f"DELETE FROM prop_t WHERE a {op} {x}")
             model = [r for r in model if not _holds(r[0], op, x)]
-        else:  # update
+        elif kind == "update":
             newb, (op, x) = arg
             s.sql(f"UPDATE prop_t SET b = '{newb}' WHERE a {op} {x}")
             model = [
                 (r[0], newb) if _holds(r[0], op, x) else r for r in model
             ]
+        elif kind == "merge":
+            # single-row source: upsert (update matched b, else insert)
+            key, newb = arg
+            s.sql(
+                f"MERGE INTO prop_t t USING (SELECT {key} AS k, '{newb}' AS nb) s "
+                "ON t.a = s.k "
+                "WHEN MATCHED THEN UPDATE SET b = s.nb "
+                "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.k, s.nb)"
+            )
+            if any(r[0] == key for r in model):
+                model = [(r[0], newb) if r[0] == key else r for r in model]
+            else:
+                model.append((key, newb))
+        else:  # merge_del: delete matched, insert sentinel otherwise
+            key = arg
+            s.sql(
+                f"MERGE INTO prop_t t USING (SELECT {key} AS k) s ON t.a = s.k "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.k, NULL)"
+            )
+            if any(r[0] == key for r in model):
+                model = [r for r in model if r[0] != key]
+            else:
+                model.append((key, None))
 
     actual = sorted(
         ((r.a, r.b) for r in s.sql("SELECT a, b FROM prop_t").collect()),
