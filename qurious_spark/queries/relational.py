@@ -456,6 +456,33 @@ sql_query(
     """,
 )
 
+# The inverse: UNPIVOT via stack() — wide metric columns to (metric, value)
+# rows, one generator pass, no join. Oracle restates it as UNION ALL.
+sql_query(
+    "unpivot_stack",
+    """
+    SELECT l_returnflag, metric, val FROM (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    ) LATERAL VIEW stack(2, 'sum_qty', sum_qty, 'avg_disc', avg_disc) AS metric, val
+    ORDER BY l_returnflag, metric
+    """,
+    duck_sql="""
+    WITH w AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS val FROM w
+    ORDER BY l_returnflag, metric
+    """,
+)
+
 # --------------------------------------------------------------------------- #
 # Subqueries  (reference §2.3 + optimizer rules 3/4: scalar→join,
 # EXISTS→semi/anti; Catalyst does both natively)
