@@ -88,3 +88,4 @@ def load_all() -> None:
     import qurious_spark.queries.multimodal  # noqa: F401
     import qurious_spark.queries.sketches  # noqa: F401
     import qurious_spark.queries.sampling  # noqa: F401
+    import qurious_spark.queries.pipeline  # noqa: F401

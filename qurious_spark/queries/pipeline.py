@@ -1,0 +1,101 @@
+"""End-to-end training-data pipeline over ``documents`` (oracle-checked).
+
+The north-star composition: language filter → quality gate → exact dedup →
+token counting → deterministic stratified sampling, each stage one of this
+engine's operators. Every stage is deterministic and engine-neutral
+(md5-based fingerprints and sample slots), so the ENTIRE pipeline
+hash-matches a DuckDB oracle end to end.
+
+Scale shape: the narrow feature pass computes fingerprint/tokens/quality in
+one projection (codegen); dedup shuffles on the 32-hex fingerprint (uniform
+keys — no skew); sampling's top-k-per-stratum shuffles once on the handful
+of language strata after the data has already been cut down by
+filter + dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qurious_spark.functions import text as T
+from qurious_spark.operators import sampling as SA
+from qurious_spark.queries import df_query, table
+from qurious_spark.queries.dedup import _duck_md5int
+from qurious_spark.queries.text import _NORM, _TOKS
+
+LANGS = ("en", "de", "fr")
+K_PER_LANG = 10
+MIN_QUALITY = 0.5
+
+_SLOT = f"{_duck_md5int('CAST(doc_id AS VARCHAR)')} % {SA.HASH_M}"
+
+
+def _oracle() -> str:
+    langs = ", ".join(f"'{lang}'" for lang in LANGS)
+    return f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               md5({_NORM}) AS fp,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               len({_TOKS}) AS n_tok,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                    ELSE 0.0 END AS punct_r,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / length(text)
+                    ELSE 0.0 END AS upper_r
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, fp, n_tokens,
+               ROUND((LEAST(n_tok / 100.0, 1.0)
+                    + (1.0 - LEAST(punct_r * 4.0, 1.0))
+                    + (1.0 - LEAST(upper_r * 4.0, 1.0))) / 3.0, 6) AS quality
+        FROM feat
+    ),
+    filtered AS (
+        SELECT * FROM scored WHERE lang IN ({langs}) AND quality >= {MIN_QUALITY}
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_tokens, quality FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    ),
+    sampled AS (
+        SELECT doc_id, lang, n_tokens, quality FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY ({_SLOT}), doc_id
+            ) AS rn2 FROM deduped
+        ) WHERE rn2 <= {K_PER_LANG}
+    )
+    SELECT doc_id, lang, n_tokens, quality FROM sampled ORDER BY lang, doc_id
+    """
+
+
+@df_query("pipeline_training_data", _oracle())
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filter → quality gate → exact dedup → stratified sample,
+    composed from functions/text.py + operators/sampling.py."""
+    docs = table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    filtered = feat.filter(
+        F.col("lang").isin(*LANGS) & (F.col("quality") >= MIN_QUALITY)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+    sampled = SA.stratified_topk_exact(deduped, "lang", "doc_id", K_PER_LANG)
+    return sampled.select("doc_id", "lang", "n_tokens", "quality").orderBy(
+        "lang", "doc_id"
+    )
