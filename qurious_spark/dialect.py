@@ -109,6 +109,7 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -218,6 +219,11 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
     m = _DELETE_RE.match(text)
     if m:
         return DdlDmlStatement(kind="delete", table=m.group(1), predicate=m.group(2))
+
+    m = _TRUNCATE_RE.match(text)
+    if m:
+        # TRUNCATE = unconditional delete (keeps schema + defaults)
+        return DdlDmlStatement(kind="delete", table=m.group(1), predicate=None)
 
     m = _UPDATE_RE.match(text)
     if m:

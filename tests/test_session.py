@@ -250,3 +250,14 @@ def test_merge_multiple_match_error(fresh):
             "MERGE INTO m3_tgt t USING m3_src s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET k = s.k"
         )
+
+
+def test_truncate(fresh):
+    fresh.sql("CREATE TABLE tr_t (a INT, b VARCHAR DEFAULT 'd')")
+    fresh.sql("INSERT INTO tr_t VALUES (1, 'x'), (2, 'y')")
+    fresh.sql("TRUNCATE TABLE tr_t")
+    assert fresh.sql("SELECT count(*) AS c FROM tr_t").collect()[0].c == 0
+    # schema + defaults survive
+    fresh.sql("INSERT INTO tr_t (a) VALUES (3)")
+    rows = fresh.sql("SELECT a, b FROM tr_t").collect()
+    assert [(r.a, r.b) for r in rows] == [(3, "d")]
