@@ -35,6 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_add(counters, vc, capacity: int):
+    """Merge a batch's value_counts into a Misra-Gries summary: add, then
+    subtract the (capacity+1)-th largest count from everyone and drop the
+    non-positive (the mergeable-summaries decrement rule). Shared with the
+    streaming variant (streaming/heavyhitters.py)."""
+    counters = vc if counters is None else counters.add(vc, fill_value=0)
+    if len(counters) > capacity:
+        kth = counters.nlargest(capacity + 1).iloc[-1]
+        counters = counters - kth
+        counters = counters[counters > 0]
+    return counters
+
+
 def _mg_candidates(key_col: str, capacity: int):
     """mapInPandas fn: one Misra-Gries summary per partition."""
     import pandas as pd
@@ -42,14 +55,7 @@ def _mg_candidates(key_col: str, capacity: int):
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters: "pd.Series | None" = None
         for pdf in batches:
-            vc = pdf[key_col].value_counts()
-            counters = vc if counters is None else counters.add(vc, fill_value=0)
-            if len(counters) > capacity:
-                # mergeable-summaries decrement: subtract the (capacity+1)-th
-                # largest count from everyone, drop the non-positive
-                kth = counters.nlargest(capacity + 1).iloc[-1]
-                counters = counters - kth
-                counters = counters[counters > 0]
+            counters = mg_add(counters, pdf[key_col].value_counts(), capacity)
         if counters is not None and len(counters):
             yield pd.DataFrame({key_col: counters.index})
 

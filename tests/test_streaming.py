@@ -188,3 +188,39 @@ def test_stream_to_parquet_sink_exactly_once(spark, events_stream, events_dir, t
     # re-running with the same checkpoint must be a no-op (offsets committed)
     run_to_parquet(stream_dedup_exact(events_stream, text_col="event_type"), out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_stream_heavy_hitter_candidates(spark, events_dir):
+    """Sharded Misra-Gries stream state: the latest per-shard summaries must
+    contain every key whose global frequency exceeds n/capacity, across
+    multiple micro-batches (4 files, 2 per trigger)."""
+    from qurious_spark.streaming import read_events_stream, run_to_memory
+    from qurious_spark.streaming.heavyhitters import stream_heavy_hitter_candidates
+
+    capacity = 32
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out = run_to_memory(
+        stream_heavy_hitter_candidates(stream, "user_id", capacity=capacity, n_shards=4),
+        "t_hh",
+        output_mode="update",
+    )
+    rows = out.collect()
+    assert rows, "no candidate emissions"
+    # latest summary per shard
+    latest_seq = {}
+    for r in rows:
+        latest_seq[r.shard] = max(latest_seq.get(r.shard, 0), r.seq)
+    cands = {r.key for r in rows if r.seq == latest_seq[r.shard]}
+    # exact truth from the batch side
+    from qurious_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    n = ev.count()
+    truth = {
+        str(r.user_id)
+        for r in ev.groupBy("user_id").count().filter(F.col("count") > n / capacity).collect()
+    }
+    assert truth, "test needs at least one guaranteed-heavy key"
+    assert truth <= cands, f"missing guaranteed keys: {truth - cands}"
+    # multiple micro-batches actually ran (seq grew past one batch's rows)
+    assert len({r.seq for r in rows}) > len(latest_seq)
