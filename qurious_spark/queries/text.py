@@ -7,7 +7,7 @@ arithmetic so results hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qurious_spark.functions import text as T
@@ -134,4 +134,82 @@ def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(T.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
         F.max("n_chars").cast("bigint").alias("max_declared_chars"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Corpus statistics: vocabulary + TF-IDF — the token-level prep a training
+# pipeline runs before sampling/packing. One explode + grouped aggregates;
+# the (token, doc) shuffle carries ids only, with map-side partial counts.
+# --------------------------------------------------------------------------- #
+
+
+@df_query(
+    "vocab_doc_freq",
+    f"""
+    SELECT tok,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS term_freq
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY doc_freq DESC, tok
+    LIMIT 100
+    """,
+)
+def vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: document frequency + total term frequency per
+    token (top 100 by df)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("term_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+@df_query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3 AND doc_id < 200
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1));
+    deterministic tiebreak on token). The df table is tiny after
+    aggregation -> broadcast back; the tf shuffle is (doc, token) ids."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 200))
+        .select("doc_id", "tok", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
     )
