@@ -99,3 +99,52 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "n_tokens", "quality").orderBy(
         "lang", "doc_id"
     )
+
+
+CTX_LEN = 2048
+
+
+@df_query(
+    "pipeline_pack_bins",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS tok,
+               {_SLOT} AS slot
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tok,
+               SUM(tok) OVER (ORDER BY slot, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT CAST(FLOOR((cum - tok) / {CTX_LEN}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM c
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pipeline_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into {CTX_LEN}-token bins via the two-phase
+    distributed prefix sum (operators/packing.py) — the oracle states the
+    same cumsum as ONE global window, proving the distributed decomposition
+    is exact."""
+    from qurious_spark.functions.text import token_count
+    from qurious_spark.operators.packing import pack_documents
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("tok")
+    )
+    packed = pack_documents(docs, "tok", ctx_len=CTX_LEN)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("bin_id")
+    )
