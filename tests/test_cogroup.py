@@ -1,0 +1,60 @@
+"""Cogrouped-map pandas surface: cross-check per-key merge_asof against the
+JVM as-of join — two independent algorithms must agree row-for-row."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurious_spark.operators.asof import asof_join
+from qurious_spark.operators.cogroup import asof_align, cogroup_apply
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def clicks_purchases(spark):
+    from qurious_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, f"{SF}/events.parquet").cache()
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return clicks, purchases
+
+
+def test_cogroup_asof_matches_jvm_asof(spark, clicks_purchases):
+    clicks, purchases = clicks_purchases
+    key = lambda r: r.event_id
+    jvm = {
+        key(r): (r.asof_event_id, r.asof_value)
+        for r in asof_join(
+            clicks, purchases, on="user_id", right_payload=["event_id", "value"]
+        ).collect()
+    }
+    py = {
+        key(r): (r.asof_event_id, r.asof_value)
+        for r in asof_align(
+            clicks, purchases, on="user_id", right_payload=["event_id", "value"]
+        ).collect()
+    }
+    assert jvm and py
+    assert jvm == py
+
+
+def test_cogroup_apply_keys_one_sided(spark):
+    import pandas as pd
+
+    l = spark.createDataFrame([(1, 10), (2, 20)], "k int, a int")
+    r = spark.createDataFrame([(2, 200), (3, 300)], "k int, b int")
+
+    def fn(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        k = lp["k"].iloc[0] if len(lp) else rp["k"].iloc[0]
+        return pd.DataFrame(
+            {"k": [int(k)], "n_left": [len(lp)], "n_right": [len(rp)]}
+        )
+
+    rows = cogroup_apply(l, r, "k", fn, "k int, n_left long, n_right long").collect()
+    got = {r.k: (r.n_left, r.n_right) for r in rows}
+    assert got == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
