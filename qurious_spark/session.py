@@ -362,7 +362,19 @@ class Session:
             return self._count_df(n)
         raise ValueError(f"unsupported statement kind: {kind}")
 
-    def _execute_merge(self, stmt: DdlDmlStatement) -> DataFrame:
+    def merge_into(self, merge_sql: str, source_df: DataFrame | None = None) -> DataFrame:
+        """Programmatic MERGE: like ``sql()`` but binds the USING source to
+        ``source_df`` directly (no temp-view indirection) — needed inside
+        ``foreachBatch``, where the micro-batch DataFrame lives in a cloned
+        session whose temp views the outer session cannot see."""
+        stmt = parse_ddl_dml(merge_sql)
+        if stmt is None or stmt.kind != "merge":
+            raise ValueError("merge_into expects a MERGE INTO statement")
+        return self._execute_merge(stmt, source_df)
+
+    def _execute_merge(
+        self, stmt: DdlDmlStatement, source_df: DataFrame | None = None
+    ) -> DataFrame:
         """MERGE INTO: SQL:2003 upsert over a managed table (beyond the
         reference, whose DML stops at INSERT/DELETE — session.rs:128-151).
 
@@ -375,7 +387,10 @@ class Session:
         mt = self._get_managed(stmt.table)
         talias = stmt.alias or "t"
         salias = stmt.source_alias or "s"
-        src = self.sql(stmt.source) if stmt.source_is_query else self.table(stmt.source)
+        if source_df is not None:
+            src = source_df
+        else:
+            src = self.sql(stmt.source) if stmt.source_is_query else self.table(stmt.source)
         if "__m" in src.columns:
             raise ValueError("MERGE: source may not contain a __m column")
         cond = F.expr(stmt.on_cond)

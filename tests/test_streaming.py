@@ -224,3 +224,36 @@ def test_stream_heavy_hitter_candidates(spark, events_dir):
     assert truth <= cands, f"missing guaranteed keys: {truth - cands}"
     # multiple micro-batches actually ran (seq grew past one batch's rows)
     assert len({r.seq for r in rows}) > len(latest_seq)
+
+
+def test_incremental_merge_rollup(spark, events_dir, tmp_path):
+    """Stream micro-batches MERGE partial aggregates into a managed rollup
+    table; the final table must equal the batch groupBy over all data."""
+    from qurious_spark.session import Session
+    from qurious_spark.sources.readers import read_parquet
+    from qurious_spark.streaming import read_events_stream
+    from qurious_spark.streaming.rollup import incremental_count_rollup
+
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS ev_rollup")
+    s.sql("CREATE TABLE ev_rollup (key VARCHAR, n_events BIGINT, total_value DOUBLE)")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)  # 4 batches
+    incremental_count_rollup(
+        stream, s, "ev_rollup", "event_type", "value", str(tmp_path / "ckpt")
+    )
+    got = {
+        r.key: (r.n_events, round(r.total_value, 4))
+        for r in s.sql("SELECT key, n_events, total_value FROM ev_rollup").collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.v, 4))
+        for r in read_parquet(spark, EVENTS_PATH)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[k][0] == want[k][0] for k in want)  # counts exact
+    # double sums may differ in last ulp across different addition orders
+    assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
+    s.sql("DROP TABLE ev_rollup")
