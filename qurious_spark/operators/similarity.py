@@ -307,6 +307,154 @@ def lsh_topk(
     )
 
 
+def _pq_subvectors(df: DataFrame, id_out: str, id_col: str, vec_col: str,
+                   n_subspaces: int, sub_dim: int) -> DataFrame:
+    """(id, s, sub): one row per (vector, subspace slice). F.slice is 1-based."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.transform(
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_out), F.explode(slices).alias("e")).select(
+        id_out, F.col("e.s").alias("s"), F.col("e.sub").alias("sub")
+    )
+
+
+def _l2_sq(a, b) -> F.Column:
+    """Squared L2 distance between two small arrays (HOF fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: per subspace, k-means (L2) over the
+    corpus's subvectors. All subspaces train JOINTLY — each Lloyd round is
+    ONE broadcast join + ONE shuffle keyed by (subspace, code, position),
+    not n_subspaces separate jobs.
+
+    Returns (s, code, centroid: array<double>). Deterministic init (first
+    n_codes vectors per subspace in id order).
+    """
+    sub_dim = dim // n_subspaces
+    sub = _pq_subvectors(corpus, "id", id_col, vec_col, n_subspaces, sub_dim)
+    w = Window.partitionBy("s").orderBy("id")
+    cent = (
+        sub.withColumn("code", F.row_number().over(w) - 1)
+        .filter(F.col("code") < n_codes)
+        .select("s", "code", F.col("sub").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = (
+            sub.join(F.broadcast(cent), "s")
+            .withColumn("d2", _l2_sq(F.col("sub"), F.col("centroid")))
+            .groupBy("id", "s")
+            .agg(
+                F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code"),
+                F.first("sub").alias("sub"),
+            )
+        )
+        cent = (
+            assigned.select("s", "code", F.posexplode("sub").alias("pos", "v"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+            .select("s", "code", F.transform("pairs", lambda p: p["cv"]).alias("centroid"))
+        )
+        cent = cent.localCheckpoint(eager=True)  # truncate the lineage per round
+    return cent
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors compress to
+    ``n_subspaces`` one-byte codes; a query scores the WHOLE corpus from a
+    per-query lookup table of subspace distances (ADC), never touching the
+    original vectors again.
+
+    Scale shape: encoding is one broadcast join over the codebooks; the
+    per-query LUT is n_subspaces * n_codes rows (broadcast); scoring is an
+    equi join on (s, code) + a sum over n_subspaces rows per (query, doc).
+    Memory per corpus vector: n_subspaces bytes instead of dim floats —
+    the 100 TB story is the 32x footprint cut.
+
+    Unit-norm embeddings make L2 order = cosine order. ADC ranks carry
+    quantization error, so (standard PQ practice) the ADC pass produces a
+    ``shortlist_factor * k`` shortlist and the final ranking re-scores
+    ONLY those shortlisted vectors with exact cosine — the footprint/IO
+    win stays (the full corpus is scanned as codes), while accuracy is
+    bounded by shortlist recall, not code resolution.
+    """
+    sub_dim = dim // n_subspaces
+    cb = pq_codebooks(corpus, n_subspaces, n_codes, dim, iters, id_col, vec_col)
+    csub = _pq_subvectors(corpus, "neighbor_id", id_col, vec_col, n_subspaces, sub_dim)
+    codes = (
+        csub.join(F.broadcast(cb), "s")
+        .withColumn("d2", _l2_sq(F.col("sub"), F.col("centroid")))
+        .groupBy("neighbor_id", "s")
+        .agg(F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+    qsub = _pq_subvectors(queries, "query_id", id_col, vec_col, n_subspaces, sub_dim)
+    lut = (
+        qsub.join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "code",
+            _l2_sq(F.col("sub"), F.col("centroid")).alias("partial"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("partial"), 6).alias("dist2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_adc))
+        .filter(F.col("srank") <= shortlist_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    rescored = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -223,3 +223,19 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# PQ ANN: compressed-domain scan (8 one-byte codes per vector) + exact
+# rerank of the ADC shortlist. Rows-only: codebooks come from distributed
+# k-means whose double averaging is partition-order dependent.
+register(
+    "ann_pq_topk",
+    lambda spark, sf_dir: S.pq_topk(
+        table(spark, sf_dir, "embeddings"),
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
+        k=10,
+        n_subspaces=16,
+        n_codes=16,
+    ),
+    None,
+)

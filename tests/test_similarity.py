@@ -65,3 +65,27 @@ def test_ivf_probes_fraction_of_corpus(spark, embeddings):
     queries = embeddings.limit(5)
     approx = ivf_topk(embeddings, queries, k=5, nprobe=1).collect()
     assert len(approx) > 0
+
+
+def test_pq_recall_vs_bruteforce(spark, embeddings):
+    from qurious_spark.operators.similarity import pq_topk
+
+    queries = embeddings.limit(20)
+    exact = _topk_sets(brute_force_topk(embeddings, queries, k=5).collect())
+    approx = _topk_sets(
+        pq_topk(embeddings, queries, k=5, n_subspaces=16, n_codes=16).collect()
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.5, f"PQ recall@5 too low: {recall:.2f}"
+
+
+def test_pq_codes_compress(spark, embeddings):
+    from qurious_spark.operators.similarity import pq_codebooks
+
+    cb = pq_codebooks(embeddings, n_subspaces=8, n_codes=8, dim=64).collect()
+    # 8 subspaces x <=8 codes, centroids are 8-dim
+    assert len(cb) <= 64 and len(cb) >= 16
+    assert all(len(r.centroid) == 8 for r in cb)
+    assert len({(r.s, r.code) for r in cb}) == len(cb)
