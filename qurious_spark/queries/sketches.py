@@ -81,3 +81,30 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.agg(
         S.hll_estimate(S.hll_merge("sk")).alias("distinct_customers_est")
     )
+
+
+# Exact mergeable distinct counts: bitmap per (group, 32k-bucket), OR-merge /
+# count on re-aggregation — the EXACT counterpart of the HLL rollup (use when
+# key domains are dense integers; constant ~4KB per bucket regardless of rows).
+sql_query(
+    "sketch_bitmap_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(bitmap_count(b)) AS BIGINT) AS distinct_customers
+    FROM (
+        SELECT o_orderpriority,
+               bitmap_bucket_number(o_custkey) AS bk,
+               bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+        FROM orders GROUP BY 1, 2
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    duck_sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
