@@ -148,3 +148,42 @@ def pipeline_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+MIX_WEIGHTS = (("en", 0.6), ("de", 0.25), ("fr", 0.15))
+MIX_TARGET = 60
+
+
+def _mix_oracle() -> str:
+    total_w = sum(w for _, w in MIX_WEIGHTS)
+    parts = []
+    for i, (lang, w) in enumerate(MIX_WEIGHTS):
+        quota = MIX_TARGET * w / total_w
+        mix_key = _duck_md5int(f"'{i}' || '#' || CAST(doc_id AS VARCHAR)")
+        parts.append(f"""
+        SELECT doc_id, lang, CAST({i} AS BIGINT) AS src,
+               ({mix_key}) % {SA.HASH_M} AS mix_slot
+        FROM documents
+        WHERE lang = '{lang}'
+          AND ({_SLOT}) < LEAST({SA.HASH_M},
+              CEIL({SA.HASH_M} * {quota!r} / (SELECT COUNT(*) FROM documents WHERE lang = '{lang}')))
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY mix_slot, src, doc_id"
+
+
+@df_query("pipeline_mix_corpora", _mix_oracle())
+def pipeline_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic mixture of three language corpora
+    (operators/mixing.py): per-source hash-threshold sampling at the
+    weight-implied rate + md5 interleave order, reproduced exactly by the
+    oracle."""
+    from qurious_spark.operators.mixing import mix_corpora
+
+    docs = table(spark, sf_dir, "documents")
+    sources = [
+        (docs.filter(F.col("lang") == lang), w) for lang, w in MIX_WEIGHTS
+    ]
+    return mix_corpora(
+        sources, "doc_id", MIX_TARGET, keep_cols=["doc_id", "lang"]
+    ).orderBy("mix_slot", "src", "doc_id")
