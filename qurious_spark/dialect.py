@@ -340,7 +340,12 @@ def _parse_merge_clause(matched: bool, seg: str) -> MergeClause:
 
 def _parse_column_defs(body: str) -> list[tuple[str, str, object]]:
     """Parse ``name TYPE [NOT NULL] [DEFAULT v]`` lists; tolerates the
-    reference's trailing comma (tests/tpch/create_tables.slt:10)."""
+    reference's trailing comma (tests/tpch/create_tables.slt:10).
+
+    Returns (name, spark_type, default) triples; a NOT NULL constraint is
+    signaled by wrapping the default in ``NotNull`` (enforced on INSERT /
+    MERGE-insert by the Session — the reference parses but never enforces
+    it; we do, per SURVEY §7.4.6's implement-correctly rule)."""
     cols: list[tuple[str, str, object]] = []
     for part in _split_top_level_commas(body):
         part = part.strip()
@@ -348,18 +353,27 @@ def _parse_column_defs(body: str) -> list[tuple[str, str, object]]:
             continue  # trailing comma tolerance
         m = re.match(
             r"(\w+)\s+(\w+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
-            r"(?:\s+NOT\s+NULL)?(?:\s+NULL)?(?:\s+DEFAULT\s+(.+))?$",
+            r"(\s+NOT\s+NULL)?(?:\s+NULL)?(?:\s+DEFAULT\s+(.+))?$",
             part,
             re.IGNORECASE,
         )
         if not m:
             raise ValueError(f"cannot parse column definition: {part!r}")
         default = None
-        if m.group(3) is not None:
-            raw = m.group(3).strip()
+        if m.group(4) is not None:
+            raw = m.group(4).strip()
             default = _parse_literal(raw)
+        if m.group(3):
+            default = NotNull(default)
         cols.append((m.group(1), map_sql_type(m.group(2)), default))
     return cols
+
+
+class NotNull:
+    """Marker wrapping a column default: the column carries NOT NULL."""
+
+    def __init__(self, default: object = None):
+        self.default = default
 
 
 def _parse_literal(raw: str) -> object:

@@ -103,11 +103,33 @@ class ManagedTable:
     reference builds at qurious/src/planner/sql.rs:377-432).
     """
 
-    def __init__(self, name: str, df: DataFrame, defaults: dict[str, object] | None = None):
+    def __init__(
+        self,
+        name: str,
+        df: DataFrame,
+        defaults: dict[str, object] | None = None,
+        notnull: set[str] | None = None,
+    ):
         self.name = name
         self.df = df
         self.defaults = defaults or {}
+        self.notnull = notnull or set()
         self._mutations = 0
+
+    def _check_notnull(self, df: DataFrame, op: str) -> None:
+        """Enforce NOT NULL on incoming rows (the reference parses the
+        constraint but never enforces it — qurious/src/planner/sql.rs; we
+        implement it correctly per SURVEY §7.4.6). One count job."""
+        cols = [c for c in self.notnull if c in df.columns]
+        if not cols:
+            return
+        cond = None
+        for c in cols:
+            cond = F.col(c).isNull() if cond is None else cond | F.col(c).isNull()
+        if df.filter(cond).limit(1).count():
+            raise ValueError(
+                f"{op}: NOT NULL constraint violated on {self.name} ({', '.join(sorted(cols))})"
+            )
 
     def _bump(self) -> None:
         self._mutations += 1
@@ -142,6 +164,7 @@ class ManagedTable:
             else:
                 exprs.append(F.lit(None).cast(field.dataType).alias(field.name))
         aligned = source.select(*exprs)
+        self._check_notnull(aligned, "INSERT")
         self.df = self.df.unionByName(aligned)
         self._bump()
         return n
@@ -162,7 +185,10 @@ class ManagedTable:
                 exprs.append(F.when(cond, new_val).otherwise(F.col(field.name)).alias(field.name))
             else:
                 exprs.append(F.col(field.name))
-        self.df = self.df.select(*exprs)
+        updated = self.df.select(*exprs)
+        if self.notnull & set(assignments):
+            self._check_notnull(updated, "UPDATE")
+        self.df = updated
         self._bump()
 
 
@@ -305,8 +331,19 @@ class Session:
             else:
                 schema_ddl = ", ".join(f"{c} {t}" for c, t, _ in stmt.columns)
                 df = self.spark.createDataFrame([], schema_ddl)
-            defaults = {c: d for c, _, d in (stmt.columns or []) if d is not None}
-            self._put_table(stmt.table, ManagedTable(stmt.table, df, defaults))
+            from qurious_spark.dialect import NotNull
+
+            defaults: dict[str, object] = {}
+            notnull: set[str] = set()
+            for c, _, d in stmt.columns or []:
+                if isinstance(d, NotNull):
+                    notnull.add(c)
+                    d = d.default
+                if d is not None:
+                    defaults[c] = d
+            self._put_table(
+                stmt.table, ManagedTable(stmt.table, df, defaults, notnull)
+            )
             return self._count_df(0)
         if kind == "drop_table":
             self._drop_table(stmt.table, stmt.if_exists)
@@ -473,6 +510,7 @@ class Session:
                                else F.when(F.col("__w") == i, v))
                 ins_cols.append(per_arm.alias(field.name))
             inserted = anti.select(*ins_cols)
+            mt._check_notnull(inserted, "MERGE")
 
         mt.df = updated.unionByName(inserted) if inserted is not None else updated
         mt._bump()

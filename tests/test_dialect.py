@@ -1,13 +1,17 @@
 """Unit tests for the SQL dialect shim (no Spark needed)."""
 
-from qurious_spark.dialect import map_sql_type, parse_ddl_dml
+from qurious_spark.dialect import NotNull, map_sql_type, parse_ddl_dml
 
 
 def test_create_table_basic():
     s = parse_ddl_dml("CREATE TABLE t (v1 INT, v2 VARCHAR NOT NULL, v3 DOUBLE DEFAULT 1.5)")
     assert s.kind == "create_table"
     assert s.table == "t"
-    assert s.columns == [("v1", "bigint", None), ("v2", "string", None), ("v3", "double", 1.5)]
+    assert s.columns[0] == ("v1", "bigint", None)
+    assert s.columns[2] == ("v3", "double", 1.5)
+    name, typ, marker = s.columns[1]
+    assert (name, typ) == ("v2", "string")
+    assert isinstance(marker, NotNull) and marker.default is None
 
 
 def test_create_table_trailing_comma():

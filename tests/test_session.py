@@ -261,3 +261,20 @@ def test_truncate(fresh):
     fresh.sql("INSERT INTO tr_t (a) VALUES (3)")
     rows = fresh.sql("SELECT a, b FROM tr_t").collect()
     assert [(r.a, r.b) for r in rows] == [(3, "d")]
+
+
+def test_not_null_enforced(fresh):
+    # the reference parses NOT NULL but never enforces it; we do
+    fresh.sql("CREATE TABLE nn_t (a INT NOT NULL, b VARCHAR)")
+    fresh.sql("INSERT INTO nn_t VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        fresh.sql("INSERT INTO nn_t VALUES (NULL, 'y')")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        fresh.sql("INSERT INTO nn_t (b) VALUES ('no-default-for-a')")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        fresh.sql("UPDATE nn_t SET a = NULL WHERE b = 'x'")
+    # untouched row still there; constraint with DEFAULT satisfies inserts
+    assert fresh.sql("SELECT count(*) AS c FROM nn_t").collect()[0].c == 1
+    fresh.sql("CREATE TABLE nn_d (a INT NOT NULL DEFAULT 7, b VARCHAR)")
+    fresh.sql("INSERT INTO nn_d (b) VALUES ('y')")
+    assert fresh.sql("SELECT a FROM nn_d").collect()[0].a == 7
