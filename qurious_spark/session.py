@@ -43,6 +43,9 @@ DEFAULT_SCHEMA = "public"
 # chains don't grow the logical plan unboundedly (SURVEY.md §7.4.5).
 CHECKPOINT_EVERY = 16
 
+# Time-travel history: versions retained per managed table (bounded ring).
+SNAPSHOT_KEEP = 8
+
 
 def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
@@ -115,6 +118,20 @@ class ManagedTable:
         self.defaults = defaults or {}
         self.notnull = notnull or set()
         self._mutations = 0
+        # Session-scoped time travel: version -> snapshot DataFrame.
+        # DataFrames are immutable plans, so a snapshot is just the df
+        # reference at mutation time (no copy); the every-16 checkpoint in
+        # _bump keeps old lineages shallow. Bounded ring: SNAPSHOT_KEEP.
+        self.version = 0
+        self.snapshots: dict[int, DataFrame] = {0: df}
+
+    def as_of(self, version: int) -> DataFrame:
+        if version not in self.snapshots:
+            kept = sorted(self.snapshots)
+            raise ValueError(
+                f"version {version} of {self.name} not available (kept: {kept})"
+            )
+        return self.snapshots[version]
 
     def _check_notnull(self, df: DataFrame, op: str) -> None:
         """Enforce NOT NULL on incoming rows (the reference parses the
@@ -137,6 +154,10 @@ class ManagedTable:
             # Truncate the union/filter plan chain; eager=False keeps it lazy
             # until next action but breaks lineage for planning purposes.
             self.df = self.df.localCheckpoint(eager=True)
+        self.version += 1
+        self.snapshots[self.version] = self.df
+        for v in [v for v in self.snapshots if v <= self.version - SNAPSHOT_KEEP]:
+            del self.snapshots[v]
 
     def insert_df(self, source: DataFrame, columns: list[str] | None = None) -> int:
         """INSERT INTO .. [(cols)] SELECT/VALUES: align columns, fill
@@ -289,7 +310,27 @@ class Session:
         rewritten = fold_interval_quantity(rewrite_table_functions(self, text))
         if rewritten.strip().upper().startswith("SHOW TABLES"):
             return self._show_tables()
+        rewritten = self._rewrite_time_travel(rewritten)
         return self.spark.sql(self._dequalify(rewritten))
+
+    def _rewrite_time_travel(self, text: str) -> str:
+        """``FROM t VERSION AS OF n`` over a managed table -> temp view of
+        that snapshot (session-scoped time travel; Delta-style syntax,
+        bounded history — see ManagedTable.snapshots)."""
+        import re
+
+        def repl(m: re.Match) -> str:
+            key = self._normalize_name(m.group(1))
+            if key not in self.tables:
+                return m.group(0)
+            version = int(m.group(2))
+            view = f"__asof_{key}_v{version}"
+            self.tables[key].as_of(version).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"\b([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)", repl, text, flags=re.IGNORECASE
+        )
 
     def _dequalify(self, text: str) -> str:
         """Strip default-catalog/schema qualifiers off managed-table

@@ -278,3 +278,31 @@ def test_not_null_enforced(fresh):
     fresh.sql("CREATE TABLE nn_d (a INT NOT NULL DEFAULT 7, b VARCHAR)")
     fresh.sql("INSERT INTO nn_d (b) VALUES ('y')")
     assert fresh.sql("SELECT a FROM nn_d").collect()[0].a == 7
+
+
+def test_time_travel_version_as_of(fresh):
+    fresh.sql("CREATE TABLE tt (a INT)")                       # v0: empty
+    fresh.sql("INSERT INTO tt VALUES (1), (2)")                # v1
+    fresh.sql("DELETE FROM tt WHERE a = 1")                    # v2
+    fresh.sql("UPDATE tt SET a = 99 WHERE a = 2")              # v3
+    assert fresh.sql("SELECT count(*) AS c FROM tt VERSION AS OF 0").collect()[0].c == 0
+    assert sorted(
+        r.a for r in fresh.sql("SELECT a FROM tt VERSION AS OF 1").collect()
+    ) == [1, 2]
+    assert [r.a for r in fresh.sql("SELECT a FROM tt VERSION AS OF 2").collect()] == [2]
+    assert [r.a for r in fresh.sql("SELECT a FROM tt").collect()] == [99]
+    # old versions beyond the ring are pruned; bogus versions error
+    with pytest.raises(ValueError, match="not available"):
+        fresh.sql("SELECT * FROM tt VERSION AS OF 42")
+
+
+def test_time_travel_history_is_immutable_after_merge(fresh):
+    fresh.sql("CREATE TABLE tt2 (k BIGINT, v BIGINT)")
+    fresh.sql("INSERT INTO tt2 VALUES (1, 10)")                # v1
+    fresh.sql(
+        "MERGE INTO tt2 t USING (SELECT 1 AS k, 11 AS v UNION ALL SELECT 2, 20) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )                                                          # v2
+    assert {(r.k, r.v) for r in fresh.sql("SELECT * FROM tt2 VERSION AS OF 1").collect()} == {(1, 10)}
+    assert {(r.k, r.v) for r in fresh.sql("SELECT * FROM tt2").collect()} == {(1, 11), (2, 20)}
