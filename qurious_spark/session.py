@@ -311,7 +311,21 @@ class Session:
         if rewritten.strip().upper().startswith("SHOW TABLES"):
             return self._show_tables()
         rewritten = self._rewrite_time_travel(rewritten)
+        m_hist = __import__("re").match(
+            r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$", rewritten, __import__("re").IGNORECASE
+        )
+        if m_hist:
+            return self._describe_history(m_hist.group(1))
         return self.spark.sql(self._dequalify(rewritten))
+
+    def _describe_history(self, name: str) -> DataFrame:
+        """Delta-style DESCRIBE HISTORY: retained snapshot versions of a
+        managed table (bounded ring — see ManagedTable.snapshots)."""
+        mt = self._get_managed(name)
+        rows = [
+            (v, v == mt.version) for v in sorted(mt.snapshots, reverse=True)
+        ]
+        return self.spark.createDataFrame(rows, "version bigint, is_current boolean")
 
     def _rewrite_time_travel(self, text: str) -> str:
         """``FROM t VERSION AS OF n`` over a managed table -> temp view of

@@ -306,3 +306,12 @@ def test_time_travel_history_is_immutable_after_merge(fresh):
     )                                                          # v2
     assert {(r.k, r.v) for r in fresh.sql("SELECT * FROM tt2 VERSION AS OF 1").collect()} == {(1, 10)}
     assert {(r.k, r.v) for r in fresh.sql("SELECT * FROM tt2").collect()} == {(1, 11), (2, 20)}
+
+
+def test_describe_history(fresh):
+    fresh.sql("CREATE TABLE dh (a INT)")
+    fresh.sql("INSERT INTO dh VALUES (1)")
+    fresh.sql("INSERT INTO dh VALUES (2)")
+    rows = fresh.sql("DESCRIBE HISTORY dh").collect()
+    assert [r.version for r in rows] == [2, 1, 0]
+    assert [r.is_current for r in rows] == [True, False, False]
