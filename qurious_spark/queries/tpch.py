@@ -244,8 +244,17 @@ sql_query(
 
 # Q11 — important stock identification (reference q11.slt). Adapted: no
 # partsupp, so "value" is lineitem extendedprice*quantity per part. Keeps the
-# HAVING-vs-global-scalar-subquery shape.
-sql_query(
+# HAVING-vs-global-threshold semantics, but the Spark side derives the global
+# total by RE-AGGREGATING the grouped decimal sums (decimal addition is
+# associative, so SUM(per-part sums) == the subquery's direct SUM exactly) —
+# one lineitem scan instead of the oracle's two.
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from qurious_spark.queries import df_query, ensure_views  # noqa: E402
+
+
+@df_query(
     "tpch_q11",
     """
     SELECT l_partkey, ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE), 2) AS part_value
@@ -257,6 +266,30 @@ sql_query(
     ORDER BY part_value DESC, l_partkey
     """,
 )
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from qurious_spark.queries import table
+
+    li = table(spark, sf_dir, "lineitem")
+    pv = (F.col("l_extendedprice") * (F.col("l_quantity"))).cast("decimal(24,4)")
+    grouped = li.groupBy("l_partkey").agg(F.sum(pv).alias("pv_dec"))
+    # global total as a window over the ALREADY-REDUCED per-part rows (one
+    # row per part key) — the single-partition exchange moves |parts| rows,
+    # not |lineitem|, and lineitem is scanned exactly once
+    tot = F.sum("pv_dec").over(Window.partitionBy())
+    return (
+        grouped.withColumn("tot_dec", tot)
+        .filter(
+            F.col("pv_dec").cast("double")
+            > F.col("tot_dec").cast("double") * F.lit(0.0001)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("pv_dec").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
 
 # Q12 — shipping modes and order priority (reference q12.slt). Adapted: no
 # l_shipmode/l_receiptdate; buckets lines by shipping delay instead, keeping
