@@ -10,7 +10,10 @@ Conventions (driver contract):
 - double-typed aggregates are wrapped in ROUND(.., 4) on BOTH sides so
   partitioned float summation noise can't flip the hash;
 - EXTRACT-style results are cast to BIGINT on both sides (Spark returns int,
-  DuckDB bigint).
+  DuckDB bigint);
+- integer SUMs (plain, DISTINCT, or SUM over CASE) are cast to BIGINT on both
+  sides — DuckDB widens integer SUM to HUGEINT (int128) while Spark stays
+  BIGINT, and the driver's value-hash is representation-sensitive.
 """
 
 from __future__ import annotations

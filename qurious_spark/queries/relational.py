@@ -253,8 +253,8 @@ sql_query(
     """
     SELECT
       count(*) AS total,
-      SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS zero_discount,
-      SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT NULL THEN 1 ELSE 0 END) AS nonzero_discount
+      CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zero_discount,
+      CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_discount
     FROM lineitem
     """,
 )
@@ -378,7 +378,7 @@ sql_query(
     SELECT l_returnflag,
            count(DISTINCT l_suppkey) AS n_supp,
            count(DISTINCT l_partkey) AS n_part,
-           SUM(DISTINCT l_linenumber) AS sum_distinct_ln
+           CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_ln
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -544,7 +544,7 @@ sql_query(
         SELECT o_custkey, count(*) AS n FROM orders
         WHERE o_totalprice > 200000 GROUP BY o_custkey
     )
-    SELECT c.c_mktsegment, SUM(b.n) AS big_order_cnt
+    SELECT c.c_mktsegment, CAST(SUM(b.n) AS BIGINT) AS big_order_cnt
     FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
     GROUP BY c.c_mktsegment
     """,

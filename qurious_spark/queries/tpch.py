@@ -267,19 +267,19 @@ from qurious_spark.queries import df_query, ensure_views  # noqa: E402
     """,
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from qurious_spark.queries import table
 
     li = table(spark, sf_dir, "lineitem")
     pv = (F.col("l_extendedprice") * (F.col("l_quantity"))).cast("decimal(24,4)")
     grouped = li.groupBy("l_partkey").agg(F.sum(pv).alias("pv_dec"))
-    # global total as a window over the ALREADY-REDUCED per-part rows (one
-    # row per part key) — the single-partition exchange moves |parts| rows,
-    # not |lineitem|, and lineitem is scanned exactly once
-    tot = F.sum("pv_dec").over(Window.partitionBy())
+    # global total = re-aggregate the per-part sums down to ONE row, then
+    # broadcast it back over the grouped rows. Unlike an unpartitioned window
+    # (which funnels all |parts| rows through a single partition — a
+    # scale-killer at 10^8 parts), this moves exactly one row per upstream
+    # partition into the scalar agg and ships a 1-row broadcast back out.
+    total = grouped.agg(F.sum("pv_dec").alias("tot_dec"))
     return (
-        grouped.withColumn("tot_dec", tot)
+        grouped.crossJoin(F.broadcast(total))
         .filter(
             F.col("pv_dec").cast("double")
             > F.col("tot_dec").cast("double") * F.lit(0.0001)
@@ -299,10 +299,10 @@ sql_query(
     """
     SELECT
       CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
-      SUM(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
-               THEN 1 ELSE 0 END) AS high_line_count,
-      SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
-               THEN 1 ELSE 0 END) AS low_line_count
+      CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o, lineitem l
     WHERE o.o_orderkey = l.l_orderkey
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -313,10 +313,10 @@ sql_query(
     duck_sql="""
     SELECT
       CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
-      SUM(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
-               THEN 1 ELSE 0 END) AS high_line_count,
-      SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
-               THEN 1 ELSE 0 END) AS low_line_count
+      CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o, lineitem l
     WHERE o.o_orderkey = l.l_orderkey
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

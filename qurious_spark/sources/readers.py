@@ -57,23 +57,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet reader that tolerates nanosecond timestamps.
 
     Spark has no nanosecond timestamp type; with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in get_spark) a
-    timestamp[ns] column arrives as long nanos-since-epoch. We detect such
-    columns from the parquet footer (driver-side, metadata-only — fine at any
-    scale) and convert them to timestamps inside the plan via
-    ``timestamp_micros`` so everything stays lazy and JVM-side.
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` a timestamp[ns] column
+    arrives as long nanos-since-epoch. We detect such columns from the
+    parquet footer (driver-side, metadata-only — fine at any scale) and
+    convert them to timestamps inside the plan via ``timestamp_micros`` so
+    everything stays lazy and JVM-side. The conf is set HERE, at runtime
+    (verified runtime-settable), so the tolerance holds on any
+    SparkSession — not just ones built by our own get_spark helper.
     """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
     try:
         schema = pq.read_schema(path)
     except Exception:
-        return df
+        return spark.read.parquet(path)
     nano_cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
     if not nano_cols:
-        return df
+        return spark.read.parquet(path)
+    # Without this a vanilla session throws "Illegal Parquet type: INT64
+    # (TIMESTAMP(NANOS,..))" at scan time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     # integer division: double division would lose precision on epoch-nanos
     # (~1.7e18 > 2^53) and round the microsecond up
     exprs = [
