@@ -30,10 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_registry().REGISTRY)
+    """One entry per implemented operator from SURVEY.md §2, priority-ordered
+    so a bounded check window still covers every §2 row and pipeline
+    family (qurious_spark.queries.DRIVER_PRIORITY)."""
+    return _registry().ordered_registry()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each hash-checkable query."""
-    return dict(_registry().ORACLES)
+    q = _registry()
+    ordered = q.ordered_registry()
+    return {n: q.ORACLES[n] for n in ordered if n in q.ORACLES}

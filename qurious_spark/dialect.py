@@ -86,7 +86,20 @@ def map_sql_type(sql_type: str) -> str:
     t = sql_type.strip().upper()
     m = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
     if m:
-        return f"decimal({m.group(1)},{m.group(2)})"
+        p, s = int(m.group(1)), int(m.group(2))
+        # Reference maps p>38 to Arrow Decimal256 (sql.rs:1451-1475). Spark
+        # has no 256-bit decimal (DecimalType caps at 38), so rather than
+        # silently downcasting — which would corrupt values the reference
+        # stores exactly — we reject with an explicit, tested error.
+        if p > 38:
+            raise ValueError(
+                f"DECIMAL({p},{s}): precision above 38 is not supported "
+                "(Spark DecimalType caps at 38; the reference engine would "
+                "use a 256-bit decimal here)"
+            )
+        if s > p:
+            raise ValueError(f"DECIMAL({p},{s}): scale exceeds precision")
+        return f"decimal({p},{s})"
     if t == "DECIMAL":
         return "decimal(38,10)"  # reference default (sql.rs:1451-1475)
     if t in _TYPE_MAP:
@@ -110,8 +123,11 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE)
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+# Only the UPDATE..SET prefix is regex-matched; the SET/WHERE split is done
+# by a paren/quote-aware scan (_find_top_level_keyword) so subqueries and
+# string literals containing " WHERE " don't truncate the assignment list.
+_UPDATE_PREFIX_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COPY_RE = re.compile(
@@ -225,14 +241,21 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
         # TRUNCATE = unconditional delete (keeps schema + defaults)
         return DdlDmlStatement(kind="delete", table=m.group(1), predicate=None)
 
-    m = _UPDATE_RE.match(text)
+    m = _UPDATE_PREFIX_RE.match(text)
     if m:
+        body = m.group(2)
+        split = _find_top_level_keyword(body, "WHERE")
+        set_part, predicate = (
+            (body[:split].rstrip(), body[split + len("WHERE") :].strip())
+            if split >= 0
+            else (body, None)
+        )
         assignments: dict[str, str] = {}
-        for part in _split_top_level_commas(m.group(2)):
+        for part in _split_top_level_commas(set_part):
             k, _, v = part.partition("=")
             assignments[k.strip()] = v.strip()
         return DdlDmlStatement(
-            kind="update", table=m.group(1), assignments=assignments, predicate=m.group(3)
+            kind="update", table=m.group(1), assignments=assignments, predicate=predicate
         )
 
     return None
@@ -393,6 +416,32 @@ def _parse_literal(raw: str) -> object:
     except ValueError:
         pass
     return raw
+
+
+def _find_top_level_keyword(s: str, keyword: str) -> int:
+    """Index of the first whole-word ``keyword`` outside parens and string
+    literals; -1 if absent. Same depth/quote rules as
+    _split_top_level_commas."""
+    kw = keyword.upper()
+    depth, in_str = 0, False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i : i + len(kw)].upper() == kw:
+                before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+                after = i + len(kw)
+                after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
+                if before_ok and after_ok:
+                    return i
+        i += 1
+    return -1
 
 
 def _split_top_level_commas(s: str) -> list[str]:

@@ -82,6 +82,8 @@ def load_all() -> None:
     """Import every query module (idempotent)."""
     import qurious_spark.queries.relational  # noqa: F401
     import qurious_spark.queries.scalar  # noqa: F401
+    import qurious_spark.queries.suites  # noqa: F401
+    import qurious_spark.queries.sources  # noqa: F401
     import qurious_spark.queries.tpch  # noqa: F401
     import qurious_spark.queries.text  # noqa: F401
     import qurious_spark.queries.dedup  # noqa: F401
@@ -92,3 +94,78 @@ def load_all() -> None:
     import qurious_spark.queries.sketches  # noqa: F401
     import qurious_spark.queries.sampling  # noqa: F401
     import qurious_spark.queries.pipeline  # noqa: F401
+
+
+# The driver hash-checks a bounded prefix (~50 entries) of ``queries()``.
+# This ordering packs ≥1 representative of every SURVEY §2.1–§2.5 row and
+# every LLM-pipeline family into that prefix; everything after it keeps
+# registration order and stays covered by the local oracle gate
+# (tools/check_correctness.py) + pytest.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # flagship + DDL/DML/MERGE (§2.1 Ddl/Dml, §2.2 managed table)
+    "tpch_q1",
+    "dml_roundtrip",
+    "merge_upsert",
+    # §2.2 sources: CSV + COPY TO + read_csv fn / NDJSON / COPY FROM .tbl
+    "source_csv_roundtrip",
+    "source_ndjson_roundtrip",
+    "source_copy_tbl",
+    # §2.5 windows, set ops, CTE, UDF
+    "window_running_sum",
+    "intersect_keys",
+    "cte_query",
+    "udf_vectorized",
+    # §2.1 plan operators
+    "projection_arith",
+    "filter_null_kleene",
+    "sort_multi_key",
+    "limit_offset",
+    "topn_orders",
+    "select_no_from",
+    "values_inline",
+    "subquery_alias",
+    "cross_join",
+    "join_inner",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_non_equi",
+    "comma_join_elimination",
+    # §2.3 expression suites (BETWEEN/IN/LIKE/IS NULL; CASE/cast/interval/
+    # EXTRACT/alias-in-GROUP-BY; EXISTS/IN-subq/scalar-subq + no-grouping agg)
+    "predicate_suite",
+    "scalar_suite",
+    "subquery_suite",
+    # §2.4 aggregates
+    "agg_basic",
+    "agg_distinct",
+    "agg_stats",
+    "distinct_pairs",
+    "having_filter",
+    "rollup_agg",
+    # LLM-pipeline families (one per VERDICT table row)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_resolve",
+    "embedding_cosine_pairs",
+    "ann_lsh_topk",
+    "text_lang_id",
+    "multimodal_media_stats",
+    "heavy_hitters_events",
+    "sketch_bitmap_distinct",
+    "sample_stratified_hash",
+    "pipeline_pack_bins",
+    "pipeline_mix_corpora",
+    "pipeline_training_data",
+    "events_asof_join",
+)
+
+
+def ordered_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """REGISTRY with DRIVER_PRIORITY entries first, the rest in
+    registration order."""
+    load_all()
+    rest = [n for n in REGISTRY if n not in set(DRIVER_PRIORITY)]
+    return {n: REGISTRY[n] for n in (*DRIVER_PRIORITY, *rest)}

@@ -1,0 +1,101 @@
+"""Source/sink round trips as oracle-verified queries.
+
+The reference's file surface (qurious/src/datasource/file/{csv,json}.rs,
+COPY FROM at qurious/src/planner/sql.rs:324-375, read_* table functions at
+sql.rs:751-774; COPY TO is todo!() at sql.rs:315-322 — implemented here)
+previously had pytest-only coverage. These entries put each source format on
+the driver's hard correctness signal: the engine side round-trips the nation
+dimension through the format under test, the oracle reads the same rows
+straight from parquet — any loss/corruption in write-out, inference, or
+option handling breaks the hash.
+
+Files land in a per-invocation tempdir: fixture generation only, never an
+operator hot path (the round-tripped table is the 25-row nation dim).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qurious_spark.queries import df_query, ensure_views
+
+_NATION_ORACLE = """
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS rk
+    FROM nation
+"""
+
+
+def _session(spark: SparkSession, sf_dir: str):
+    from qurious_spark.session import Session
+
+    ensure_views(spark, sf_dir)
+    return Session(spark)
+
+
+@df_query("source_csv_roundtrip", _NATION_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO (FORMAT CSV) + ``read_csv('dir')`` table function in FROM:
+    exercises the CSV writer, header handling, and schema inference in one
+    hash-checked pass."""
+    s = _session(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="qurious_src_csv_"), "nation_csv")
+    s.sql("DROP TABLE IF EXISTS src_csv_t")
+    s.sql("CREATE TABLE src_csv_t AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    s.sql(f"COPY src_csv_t TO '{out}' (FORMAT CSV, HEADER)")
+    return s.sql(
+        f"""
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+               n_name AS name,
+               CAST(n_regionkey AS BIGINT) AS rk
+        FROM read_csv('{out}')
+        """
+    )
+
+
+@df_query("source_ndjson_roundtrip", _NATION_ORACLE)
+def source_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO (FORMAT JSON) + ``read_json('dir')`` table function: NDJSON
+    write/read parity (reference reader: datasource/file/json.rs:17-29)."""
+    s = _session(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="qurious_src_json_"), "nation_json")
+    s.sql("DROP TABLE IF EXISTS src_json_t")
+    s.sql("CREATE TABLE src_json_t AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    s.sql(f"COPY src_json_t TO '{out}' (FORMAT JSON)")
+    return s.sql(
+        f"""
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+               n_name AS name,
+               CAST(n_regionkey AS BIGINT) AS rk
+        FROM read_json('{out}')
+        """
+    )
+
+
+@df_query("source_copy_tbl", _NATION_ORACLE)
+def source_copy_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE + COPY FROM a pipe-delimited ``.tbl`` file (the
+    reference's TPC-H load path, qurious/tests/tpch/insert.slt +
+    sql.rs:324-375): typed managed-table insert from a headerless file."""
+    import pyarrow.parquet as pq
+
+    s = _session(spark, sf_dir)
+    tbl_path = os.path.join(tempfile.mkdtemp(prefix="qurious_src_tbl_"), "nation.tbl")
+    pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas().to_csv(
+        tbl_path, sep="|", header=False, index=False
+    )
+    s.sql("DROP TABLE IF EXISTS src_tbl_t")
+    s.sql("CREATE TABLE src_tbl_t (n_nationkey INT, n_name VARCHAR, n_regionkey INT)")
+    s.sql(f"COPY src_tbl_t FROM '{tbl_path}' (DELIMITER '|')")
+    return s.sql(
+        """
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+               n_name AS name,
+               CAST(n_regionkey AS BIGINT) AS rk
+        FROM src_tbl_t
+        """
+    )

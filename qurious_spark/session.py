@@ -377,7 +377,10 @@ class Session:
     def _execute_ddl_dml(self, stmt: DdlDmlStatement) -> DataFrame:
         kind = stmt.kind
         if kind == "create_table":
-            if stmt.table.lower() in self.tables:
+            # qualified names resolve to the same table identity as bare
+            # ones (table_relation.rs:8-38): CREATE public.t must collide
+            # with an existing t
+            if self._normalize_name(stmt.table) in self.tables:
                 if stmt.if_not_exists:
                     return self._count_df(0)
                 raise ValueError(f"table already exists: {stmt.table}")
@@ -533,6 +536,18 @@ class Session:
                            else F.when(F.col("__w") == i, v))
             out_cols.append((upd.otherwise(val) if upd is not None else val).alias(field.name))
         updated = kept.select(*out_cols)
+        # NOT NULL applies to matched-update arms too, not just inserts —
+        # an UPDATE SET x = NULL on a constrained column must fail the same
+        # way INSERT/UPDATE do. Only pay the count job when an update arm
+        # actually assigns a constrained column.
+        updated_cols = {
+            name
+            for c in m_clauses
+            if c.action == "update"
+            for name in c.assignments
+        }
+        if mt.notnull & updated_cols:
+            mt._check_notnull(updated, "MERGE")
 
         # NOT MATCHED side: anti-join source against target, then the
         # first applicable insert arm builds each target column.

@@ -193,11 +193,22 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]]) -> bool:
     )
 
 
+def _is_top_level_ordered(sql: str) -> bool:
+    """True only for a top-level ORDER BY — one inside a subquery, an OVER()
+    window, or a string literal doesn't order the outer result and must not
+    force an ordered compare."""
+    from qurious_spark.dialect import _find_top_level_keyword
+
+    i = _find_top_level_keyword(sql, "ORDER")
+    if i < 0:
+        return False
+    rest = sql[i + len("ORDER") :].lstrip()
+    return rest[:2].upper() == "BY"
+
+
 def _compare(rec: Record, actual: list[list[str]]) -> str | None:
     expected = [line.split() for line in rec.expected]
-    ordered = rec.sort_mode != "rowsort" and re.search(
-        r"\border\s+by\b", rec.sql, re.IGNORECASE
-    )
+    ordered = rec.sort_mode != "rowsort" and _is_top_level_ordered(rec.sql)
     if not ordered:
         expected = sorted(expected, key=lambda r: [str(c) for c in r])
         actual = sorted(actual, key=lambda r: [str(c) for c in r])

@@ -61,3 +61,21 @@ def test_copy_from():
 def test_plain_select_passthrough():
     assert parse_ddl_dml("SELECT * FROM t") is None
     assert parse_ddl_dml("WITH x AS (SELECT 1) SELECT * FROM x") is None
+
+
+def test_update_subquery_assignment_with_inner_where():
+    # the WHERE inside the subquery must not truncate the SET list
+    s = parse_ddl_dml("UPDATE t SET a = (SELECT max(x) FROM u WHERE u.k = t.k), b = 2 WHERE c > 0")
+    assert s.kind == "update"
+    assert s.assignments == {"a": "(SELECT max(x) FROM u WHERE u.k = t.k)", "b": "2"}
+    assert s.predicate == "c > 0"
+
+
+def test_update_string_literal_containing_where():
+    s = parse_ddl_dml("UPDATE t SET a = 'pick WHERE you like' WHERE b = 1")
+    assert s.assignments == {"a": "'pick WHERE you like'"}
+    assert s.predicate == "b = 1"
+    # no top-level WHERE at all, literal still contains one
+    s = parse_ddl_dml("UPDATE t SET a = 'no WHERE clause here'")
+    assert s.assignments == {"a": "'no WHERE clause here'"}
+    assert s.predicate is None

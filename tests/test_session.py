@@ -280,6 +280,33 @@ def test_not_null_enforced(fresh):
     assert fresh.sql("SELECT a FROM nn_d").collect()[0].a == 7
 
 
+def test_not_null_enforced_on_merge_update_arm(fresh):
+    # matched-update arms must hit the same constraint INSERT/UPDATE do
+    fresh.sql("CREATE TABLE nn_m (k INT NOT NULL, v VARCHAR NOT NULL)")
+    fresh.sql("INSERT INTO nn_m VALUES (1, 'x'), (2, 'y')")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        fresh.sql(
+            """
+            MERGE INTO nn_m t
+            USING (SELECT 1 AS k) s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = NULL
+            """
+        )
+    # table state unchanged after the rejected merge
+    assert fresh.sql("SELECT count(*) AS c FROM nn_m WHERE v IS NOT NULL").collect()[0].c == 2
+    # an update arm not touching constrained columns still goes through
+    fresh.sql("CREATE TABLE nn_m2 (k INT NOT NULL, v VARCHAR)")
+    fresh.sql("INSERT INTO nn_m2 VALUES (1, 'x')")
+    fresh.sql(
+        """
+        MERGE INTO nn_m2 t
+        USING (SELECT 1 AS k) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = NULL
+        """
+    )
+    assert fresh.sql("SELECT v FROM nn_m2").collect()[0].v is None
+
+
 def test_time_travel_version_as_of(fresh):
     fresh.sql("CREATE TABLE tt (a INT)")                       # v0: empty
     fresh.sql("INSERT INTO tt VALUES (1), (2)")                # v1
@@ -315,3 +342,13 @@ def test_describe_history(fresh):
     rows = fresh.sql("DESCRIBE HISTORY dh").collect()
     assert [r.version for r in rows] == [2, 1, 0]
     assert [r.is_current for r in rows] == [True, False, False]
+
+
+def test_create_duplicate_qualified_name(fresh):
+    fresh.sql("CREATE TABLE dupq (a INT)")
+    with pytest.raises(ValueError, match="already exists"):
+        fresh.sql("CREATE TABLE public.dupq (a INT)")
+    with pytest.raises(ValueError, match="already exists"):
+        fresh.sql("CREATE TABLE qurious.public.dupq (a INT)")
+    # IF NOT EXISTS through a qualified name is a no-op, not an error
+    fresh.sql("CREATE TABLE IF NOT EXISTS public.dupq (a INT)")

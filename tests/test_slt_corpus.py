@@ -105,3 +105,19 @@ def test_slt_runner_end_to_end(tmp_path, spark):
     result = run_slt_file(str(p), spark)
     assert result.ok, "\n".join(result.failures)
     assert result.total == 4
+
+
+def test_ordered_compare_only_for_top_level_order_by():
+    from qurious_spark.testing.slt import _is_top_level_ordered
+
+    assert _is_top_level_ordered("SELECT a FROM t ORDER BY a")
+    assert _is_top_level_ordered("select a from t order   by a limit 3")
+    # subquery / window / string-literal ORDER BY are not orderings of the result
+    assert not _is_top_level_ordered(
+        "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 5) s"
+    )
+    assert not _is_top_level_ordered(
+        "SELECT rank() OVER (ORDER BY a) FROM t"
+    )
+    assert not _is_top_level_ordered("SELECT 'order by' AS s FROM t")
+    assert not _is_top_level_ordered("SELECT ordering FROM t")
