@@ -35,6 +35,9 @@ ALLOW_NON_EQUI = {
     "ann_topk_bruteforce",  # query-point x corpus scoring
     "ann_ivf_topk",
     "dedup_minhash_ml",  # MLlib approxSimilarityJoin internals
+    # crossJoin(broadcast(<1-row global aggregate>)) — the scale-safe way to
+    # apply a global threshold; the BNLJ's build side is exactly one row
+    "tpch_q11",
 }
 
 # Queries whose Python stages are the point (stubbed decode, MLlib UDFs).

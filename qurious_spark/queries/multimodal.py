@@ -3,9 +3,10 @@
 Real multimodal tables don't exist in the testdata, so media rows are derived
 DETERMINISTICALLY from ``documents`` with expressions both engines implement
 identically (md5/repeat/unhex): blob bytes, kind, and typed metadata.  That
-makes the metadata-aggregation and frame-fan-out paths fully oracle-checkable;
-only the pseudo-decode (md5-tiled fake pixels) stays rows-only since its
-numpy arithmetic is not SQL-expressible.
+makes the metadata-aggregation and frame-fan-out paths fully oracle-checkable.
+The decode path is hash-checked too: multimodal_image_features parses REAL
+binary-PGM blobs and is compared against expectations computed independently
+from the source pixel arrays at fixture-build time.
 """
 
 from __future__ import annotations
@@ -87,8 +88,85 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: the md5-tiled pseudo-decode (numpy) has no SQL equivalent.
-@df_query("multimodal_image_features", None)
+PPM_MEDIA_PATH = "/tmp/qurious_ppm_media.parquet"
+PPM_EXPECTED_PATH = "/tmp/qurious_ppm_expected.parquet"
+_PPM_N, _PPM_W, _PPM_H, _PPM_DIM = 48, 24, 16, 8
+
+
+def write_ppm_fixture() -> None:
+    """Real binary-PGM media fixture + independently-computed expectations.
+
+    The generator lays out pixels with _deterministic_pixels, ENCODES them
+    as real P5 files for the media table, and computes expected
+    luma/stripe-features straight from the pixel arrays — the engine side
+    must recover the same numbers by PARSING the file bytes
+    (operators/multimodal._decode_ppm), so the oracle genuinely checks the
+    decode + mapInPandas pipeline, not a shared code path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qurious_spark.operators.multimodal import _deterministic_pixels, encode_ppm
+
+    media, expected = [], []
+    for i in range(_PPM_N):
+        px = _deterministic_pixels(i, _PPM_W, _PPM_H)
+        media.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "blob": encode_ppm(px),
+                "meta": {
+                    "width": _PPM_W,
+                    "height": _PPM_H,
+                    "n_frames": 1,
+                    "sample_rate": 0,
+                    "format": "ppm",
+                },
+            }
+        )
+        fpx = px.astype(np.float64)
+        expected.append(
+            {
+                "media_id": i,
+                "width": _PPM_W,
+                "height": _PPM_H,
+                "mean_luma": float(fpx.mean()),
+                "feature": [float(s.mean()) for s in np.array_split(fpx, _PPM_DIM, axis=1)],
+            }
+        )
+    pq.write_table(pa.Table.from_pylist(media), PPM_MEDIA_PATH)
+    pq.write_table(pa.Table.from_pylist(expected), PPM_EXPECTED_PATH)
+
+
+try:
+    write_ppm_fixture()
+except OSError:
+    pass
+
+
+@df_query(
+    "multimodal_image_features",
+    f"""
+    SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           mean_luma, feature
+    FROM '{PPM_EXPECTED_PATH}'
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = derived_media(spark, sf_dir).filter(F.col("kind") == "image")
-    return decode_image_features(media, deterministic_fake=True, feature_dim=8)
+    """REAL image decode on the driver's hard signal: parse binary PGM blobs
+    (header + raw bytes) inside mapInPandas and reduce to dims/luma/stripe
+    features; the oracle reads expectations computed at fixture-build time
+    from the source pixel arrays (see write_ppm_fixture)."""
+    from qurious_spark.sources.readers import read_parquet
+
+    write_ppm_fixture()
+    media = read_parquet(spark, PPM_MEDIA_PATH)
+    feats = decode_image_features(media, feature_dim=_PPM_DIM)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "mean_luma",
+        "feature",
+    )

@@ -22,6 +22,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 from qurious_spark.queries import df_query, ensure_views
 
+UINT_FIXTURE_PATH = "/tmp/qurious_uint_fixture.parquet"
+
+
+def write_uint_fixture(path: str = UINT_FIXTURE_PATH) -> str:
+    """Deterministic unsigned-int parquet fixture (SURVEY §7.4.2: Spark has
+    no unsigned types; uint8/16→Short/Int, uint32→Long, uint64→
+    Decimal(20,0) — the same up-range mapping the reference's ScalarValue
+    UInt* variants require). Written at import so the DuckDB oracle can read
+    it regardless of evaluation order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "u8": pa.array([0, 200, 255], pa.uint8()),
+            "u16": pa.array([0, 60000, 65535], pa.uint16()),
+            "u32": pa.array([0, 4000000000, 4294967295], pa.uint32()),
+            "u64": pa.array([0, 2**63, 2**64 - 1], pa.uint64()),
+        }
+    )
+    pq.write_table(table, path)
+    return path
+
+
+try:
+    write_uint_fixture()
+except OSError:  # read-only tmp: the query itself re-attempts the write
+    pass
+
+
 _NATION_ORACLE = """
     SELECT CAST(n_nationkey AS BIGINT) AS k,
            n_name AS name,
@@ -98,4 +128,31 @@ def source_copy_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_regionkey AS BIGINT) AS rk
         FROM src_tbl_t
         """
+    )
+
+
+@df_query(
+    "source_uint_parquet",
+    f"""
+    SELECT CAST(u8 AS SMALLINT) AS u8,
+           CAST(u16 AS INTEGER) AS u16,
+           CAST(u32 AS BIGINT) AS u32,
+           CAST(u64 AS DECIMAL(20,0)) AS u64
+    FROM '{UINT_FIXTURE_PATH}'
+    """,
+)
+def source_uint_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsigned parquet columns land on the §7.4.2 up-range mapping —
+    uint8→smallint, uint16→int, uint32→bigint, uint64→decimal(20,0) —
+    with full-range values (incl. 2^64-1) intact; DuckDB reads the native
+    unsigned types from the same file and casts to the same shapes."""
+    from qurious_spark.sources.readers import read_parquet
+
+    path = write_uint_fixture()
+    df = read_parquet(spark, path)
+    return df.selectExpr(
+        "CAST(u8 AS SMALLINT) AS u8",
+        "CAST(u16 AS INT) AS u16",
+        "CAST(u32 AS BIGINT) AS u32",
+        "CAST(u64 AS DECIMAL(20,0)) AS u64",
     )
