@@ -85,6 +85,7 @@ def load_all() -> None:
     import qurious_spark.queries.suites  # noqa: F401
     import qurious_spark.queries.sources  # noqa: F401
     import qurious_spark.queries.tpch  # noqa: F401
+    import qurious_spark.queries.partsupp  # noqa: F401
     import qurious_spark.queries.text  # noqa: F401
     import qurious_spark.queries.dedup  # noqa: F401
     import qurious_spark.queries.vector  # noqa: F401
