@@ -48,6 +48,11 @@ def global_running_sum(
     )
     b = b.withColumn("__cum_in", F.sum(val_col).over(w_in))
     totals = b.groupBy("__bucket").agg(F.sum(val_col).alias("__t"))
+    # unpartitioned window is benign by construction: it runs over the
+    # per-bucket totals — exactly n_buckets (64) rows at any corpus size.
+    # That's the whole point of the two-phase prefix sum: the global-order
+    # dependency is reduced to a constant-size table before any single-
+    # partition step.
     w_b = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -165,6 +165,9 @@ def kmeans_centroids(
     cent = (
         c.orderBy(id_col)
         .limit(n_clusters)
+        # unpartitioned window is benign by construction: its input is the
+        # limit(n_clusters) result — at most n_clusters (≈16) rows regardless
+        # of corpus size, so the single-partition exchange moves only those
         .withColumn("bucket", F.row_number().over(Window.orderBy(id_col)) - 1)
         .select("bucket", F.col(vec_col).alias("centroid"))
     )

@@ -60,8 +60,8 @@ sql_query(
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS d_abs,
            round(l_extendedprice / 1000, 2) AS price_k,
-           floor(l_quantity / 7) AS q_floor,
-           ceil(l_quantity / 7) AS q_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
            ROUND(power(l_quantity, 2), 4) AS q_sq,
            ROUND(sqrt(l_quantity), 6) AS q_sqrt,
            ROUND(ln(l_extendedprice), 6) AS price_ln,
@@ -76,8 +76,8 @@ sql_query(
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS d_abs,
            round(l_extendedprice / 1000, 2) AS price_k,
-           floor(l_quantity / 7) AS q_floor,
-           ceil(l_quantity / 7) AS q_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
            ROUND(power(l_quantity, 2), 4) AS q_sq,
            ROUND(sqrt(l_quantity), 6) AS q_sqrt,
            ROUND(ln(l_extendedprice), 6) AS price_ln,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
+import re
 import sys
 import time
 
@@ -65,16 +66,72 @@ def frame_key(columns, rows):
     return [columns[i] for i in order], out
 
 
+def _canon_type(t: str) -> str:
+    """Collapse Spark dtypes and DuckDB type names into one canonical
+    vocabulary so representation drift (the class the driver's value-hash is
+    sensitive to, e.g. DuckDB widening integer SUM to HUGEINT while Spark
+    stays BIGINT) fails locally instead of only on the driver."""
+    t = t.strip().lower()
+    m = re.match(r"(.+)\[\]$", t)  # duckdb list syntax
+    if m:
+        return f"list<{_canon_type(m.group(1))}>"
+    m = re.match(r"array<(.+)>$", t)  # spark list syntax
+    if m:
+        return f"list<{_canon_type(m.group(1))}>"
+    m = re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"dec({m.group(1)},{m.group(2)})"
+    table = {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "integer": "int32",
+        "bigint": "int64",
+        "hugeint": "int128",
+        "utinyint": "uint8",
+        "usmallint": "uint16",
+        "uinteger": "uint32",
+        "ubigint": "uint64",
+        "float": "f32",
+        "real": "f32",
+        "double": "f64",
+        "varchar": "str",
+        "string": "str",
+        "text": "str",
+        "boolean": "bool",
+        "blob": "bin",
+        "binary": "bin",
+        "date": "date",
+        "timestamp": "ts",
+        "timestamp_ntz": "ts",
+        "timestamp with time zone": "ts",
+        "timestamptz": "ts",
+    }
+    return table.get(t, t)
+
+
 def compare(name, spark_df, con, sql):
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_types = [str(t) for t in rel.types]
+    duck_rows = rel.fetchall()
 
     problems = []
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    else:
+        s_types = {c: _canon_type(t) for c, t in spark_df.dtypes}
+        d_types = {c: _canon_type(t) for c, t in zip(duck_cols, duck_types)}
+        drift = {
+            c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]
+        }
+        if drift:
+            problems.append(
+                "type drift (driver hash is representation-sensitive): "
+                + ", ".join(f"{c}: spark={a} duck={b}" for c, (a, b) in drift.items())
+            )
     if len(spark_rows) != len(duck_rows):
         problems.append(f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}")
     if not problems:
