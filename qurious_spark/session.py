@@ -22,6 +22,7 @@ mutation-depth threshold so plan size stays bounded (SURVEY.md §7.4.5).
 from __future__ import annotations
 
 import os
+import re
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -310,9 +311,21 @@ class Session:
         rewritten = fold_interval_quantity(rewrite_table_functions(self, text))
         if rewritten.strip().upper().startswith("SHOW TABLES"):
             return self._show_tables()
+        # information_schema.tables is a real queryable relation in the
+        # reference (information_schema.rs:12-46; SHOW TABLES is sugar over
+        # it, session.rs:78-81) — materialize it as a temp view on demand so
+        # arbitrary SELECTs against it work too.
+        if re.search(r"\binformation_schema\s*\.\s*tables\b", rewritten, re.IGNORECASE):
+            self._show_tables().createOrReplaceTempView("q_information_schema_tables")
+            rewritten = re.sub(
+                r"\binformation_schema\s*\.\s*tables\b",
+                "q_information_schema_tables",
+                rewritten,
+                flags=re.IGNORECASE,
+            )
         rewritten = self._rewrite_time_travel(rewritten)
-        m_hist = __import__("re").match(
-            r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$", rewritten, __import__("re").IGNORECASE
+        m_hist = re.match(
+            r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$", rewritten, re.IGNORECASE
         )
         if m_hist:
             return self._describe_history(m_hist.group(1))

@@ -352,3 +352,20 @@ def test_create_duplicate_qualified_name(fresh):
         fresh.sql("CREATE TABLE qurious.public.dupq (a INT)")
     # IF NOT EXISTS through a qualified name is a no-op, not an error
     fresh.sql("CREATE TABLE IF NOT EXISTS public.dupq (a INT)")
+
+
+def test_information_schema_tables_queryable(fresh):
+    # reference: SHOW TABLES is sugar over a REAL information_schema.tables
+    # relation (execution/information_schema.rs:12-46) — direct SELECTs work
+    fresh.sql("CREATE TABLE ist_t (a INT)")
+    rows = fresh.sql(
+        "SELECT table_catalog, table_schema, table_name FROM information_schema.tables "
+        "WHERE table_name = 'ist_t'"
+    ).collect()
+    assert [(r.table_catalog, r.table_schema, r.table_name) for r in rows] == [
+        ("qurious", "public", "ist_t")
+    ]
+    n = fresh.sql(
+        "SELECT count(*) AS c FROM information_schema.tables"
+    ).collect()[0].c
+    assert n >= 1
