@@ -103,6 +103,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop training docs sharing any n-token
+    shingle with the eval corpus (the standard LLM-pipeline 13-gram rule).
+
+    Returns (clean_train, contaminated) where ``contaminated`` is
+    (id_col, n_hit_grams) — the distinct overlapping shingle count per
+    flagged doc.
+
+    Scale shape: eval/benchmark corpora are tiny next to 100 TB of training
+    text, so the eval shingle set broadcasts (``broadcast_eval=True``) and
+    the train side stays a narrow (id, 60-bit hash) projection probed
+    map-side — no shuffle of training data at all. Set
+    ``broadcast_eval=False`` for a giant eval side to fall back to a hash
+    equi-join. Shingle hashing uses md5_int (engine-neutral, shared with
+    the DuckDB oracle).
+    """
+    tr = spread(train).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__g")
+    ).select(F.col(id_col), md5_int(F.col("__g")).alias("__gh"))
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("__g"))
+        .select(md5_int(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    contaminated = (
+        tr.join(ev, "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").cast("bigint").alias("n_hit_grams"))
+    )
+    clean = train.join(contaminated.select(id_col), id_col, "left_anti")
+    return clean, contaminated
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -187,3 +187,43 @@ def pipeline_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpora(
         sources, "doc_id", MIX_TARGET, keep_cols=["doc_id", "lang"]
     ).orderBy("mix_slot", "src", "doc_id")
+
+
+DECON_N = 13
+
+
+@df_query(
+    "pipeline_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= {DECON_N}
+                 THEN list_distinct(list_transform(range(1, len(t) - {DECON_N} + 2),
+                                    i -> array_to_string(t[i:i+{DECON_N}-1], ' ')))
+                 ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+    SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hit_grams
+    FROM grams
+    WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM ev)
+    GROUP BY doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): flag
+    training docs sharing any {DECON_N}-token shingle with a held-out eval
+    split (docs with doc_id % 17 == 0 stand in for the benchmark corpus).
+    The eval shingle set is broadcast, so the 100-TB train side is probed
+    map-side with no shuffle; the oracle restates the overlap with string
+    shingles (engine side hashes them — md5_int, engine-neutral)."""
+    from qurious_spark.operators.dedup import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    _, contaminated = decontaminate(train, ev, n=DECON_N)
+    return contaminated
