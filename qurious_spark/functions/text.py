@@ -50,6 +50,26 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0)).cast("bigint")
 
 
+def ngrams(col: Column, n: int) -> Column:
+    """n-token grams of the normalized text (array<string>); empty array
+    for docs shorter than n tokens."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def type_token_ratio(col: Column) -> Column:
+    """Distinct-token fraction (Gopher-style repetition signal): low values
+    mean the document repeats itself."""
+    toks = tokens(col)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

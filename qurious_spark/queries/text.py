@@ -213,3 +213,71 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+def _duck_ngram_frac(n: int) -> str:
+    """DuckDB replica of the top-n-gram occurrence fraction."""
+    return f"""
+        SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS frac
+        FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - {n} + 2),
+                              i -> array_to_string(t[i:i+{n}-1], ' '))) AS g
+                FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+                WHERE len(t) >= {n}
+            ) GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    """
+
+
+@df_query(
+    "text_repetition",
+    f"""
+    WITH ttr AS (
+        SELECT doc_id,
+               len(list_distinct(t)) * 1.0 / len(t) AS ttr
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+    ),
+    f2 AS ({_duck_ngram_frac(2)}),
+    f3 AS ({_duck_ngram_frac(3)})
+    SELECT ttr.doc_id,
+           ROUND(ttr.ttr, 6) AS ttr,
+           ROUND(COALESCE(f2.frac, 0.0), 6) AS top2_frac,
+           ROUND(COALESCE(f3.frac, 0.0), 6) AS top3_frac
+    FROM ttr LEFT JOIN f2 ON ttr.doc_id = f2.doc_id
+             LEFT JOIN f3 ON ttr.doc_id = f3.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: type-token ratio and the
+    occurrence fraction of the most frequent 2-/3-gram. The n-gram passes
+    shuffle (doc_id, gram) with map-side partial counts; the three signals
+    join back on doc_id (co-partitioned aggregations, no wide rows)."""
+    from qurious_spark.functions.text import ngrams, type_token_ratio
+
+    docs = table(spark, sf_dir, "documents")
+
+    def top_frac(n: int, name: str) -> DataFrame:
+        return (
+            docs.select("doc_id", F.explode(ngrams(F.col("text"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg((F.max("c") / F.sum("c")).alias(name))
+        )
+
+    ttr = docs.select(
+        "doc_id", F.round(type_token_ratio(F.col("text")), 6).alias("ttr")
+    )
+    return (
+        ttr.join(top_frac(2, "f2"), "doc_id", "left")
+        .join(top_frac(3, "f3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "ttr",
+            F.round(F.coalesce(F.col("f2"), F.lit(0.0)), 6).alias("top2_frac"),
+            F.round(F.coalesce(F.col("f3"), F.lit(0.0)), 6).alias("top3_frac"),
+        )
+    )
