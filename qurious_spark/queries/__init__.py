@@ -111,10 +111,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_csv_roundtrip",
     "source_ndjson_roundtrip",
     "source_copy_tbl",
-    # §2.5 windows, set ops, CTE, UDF
+    # §2.5 windows, set ops, CTE, streaming, UDF. (The SubqueryAlias row is
+    # evidenced by cte_query: the reference plans CTEs as SubqueryAlias
+    # nodes — SURVEY §3.1 — so the single-purpose subquery_alias query can
+    # live outside the window.)
     "window_running_sum",
     "intersect_keys",
     "cte_query",
+    "events_stream_tumbling",
     "udf_vectorized",
     # §2.1 plan operators
     "projection_arith",
@@ -124,7 +128,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "topn_orders",
     "select_no_from",
     "values_inline",
-    "subquery_alias",
     "cross_join",
     "join_inner",
     "join_full_outer",

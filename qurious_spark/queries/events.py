@@ -183,3 +183,38 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_STREAM_RUNS = __import__("itertools").count()
+
+
+@df_query(
+    "events_stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ON the hard signal: a real readStream →
+    watermarked tumbling aggregation → availableNow memory sink, drained to
+    completion and hash-compared against the SAME batch oracle as
+    events_tumbling_window. Exact because the source is bounded and the
+    aggregation is a complete-mode window count/sum — the streaming and
+    batch answers must be identical row-for-row."""
+    import os
+    import tempfile
+
+    from qurious_spark.sources.readers import read_parquet
+    from qurious_spark.streaming import read_events_stream, run_to_memory, tumbling_counts
+
+    d = os.path.join(tempfile.mkdtemp(prefix="qurious_evstream_"), "events")
+    read_parquet(spark, os.path.join(sf_dir, "events.parquet")).repartition(
+        4
+    ).write.mode("overwrite").parquet(d)
+    name = f"q_stream_tumbling_{next(_STREAM_RUNS)}"
+    result = run_to_memory(tumbling_counts(read_events_stream(spark, d)), name)
+    return result
