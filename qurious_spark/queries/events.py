@@ -205,16 +205,78 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_tumbling_window. Exact because the source is bounded and the
     aggregation is a complete-mode window count/sum — the streaming and
     batch answers must be identical row-for-row."""
+    from qurious_spark.streaming import run_to_memory, tumbling_counts
+
+    stream = _staged_events_stream(spark, sf_dir)
+    name = f"q_stream_tumbling_{next(_STREAM_RUNS)}"
+    return run_to_memory(tumbling_counts(stream), name)
+
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str):
+    """Stage the events table into a directory and open it as a file-source
+    stream (file streams read directories, not single files)."""
     import os
     import tempfile
 
     from qurious_spark.sources.readers import read_parquet
-    from qurious_spark.streaming import read_events_stream, run_to_memory, tumbling_counts
+    from qurious_spark.streaming import read_events_stream
 
     d = os.path.join(tempfile.mkdtemp(prefix="qurious_evstream_"), "events")
     read_parquet(spark, os.path.join(sf_dir, "events.parquet")).repartition(
         4
     ).write.mode("overwrite").parquet(d)
-    name = f"q_stream_tumbling_{next(_STREAM_RUNS)}"
-    result = run_to_memory(tumbling_counts(read_events_stream(spark, d)), name)
-    return result
+    return read_events_stream(spark, d)
+
+
+@df_query(
+    "events_stream_sliding",
+    """
+    SELECT window_start, count(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM (
+        SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS window_start, value
+        FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+    )
+    GROUP BY 1
+    """,
+)
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation drained with availableNow and
+    hash-compared against the batch oracle (exact on a bounded source)."""
+    from qurious_spark.streaming import run_to_memory, sliding_counts
+
+    stream = _staged_events_stream(spark, sf_dir)
+    name = f"q_stream_sliding_{next(_STREAM_RUNS)}"
+    return run_to_memory(sliding_counts(stream), name)
+
+
+@df_query(
+    "events_stream_session",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based session windows (session_window + watermark)
+    drained with availableNow; the oracle restates sessionization with a
+    lag/cumsum window chain — the two formulations must agree exactly."""
+    from qurious_spark.streaming import run_to_memory, sessionized_counts
+
+    stream = _staged_events_stream(spark, sf_dir)
+    name = f"q_stream_session_{next(_STREAM_RUNS)}"
+    return run_to_memory(sessionized_counts(stream), name)

@@ -15,6 +15,7 @@ semantics; tests drive the streams with availableNow triggers.
 from qurious_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
+    sliding_counts,
     run_to_parquet,
     sessionized_counts,
     tumbling_counts,
@@ -24,6 +25,7 @@ from qurious_spark.streaming.events import (
 __all__ = [
     "read_events_stream",
     "run_to_memory",
+    "sliding_counts",
     "run_to_parquet",
     "sessionized_counts",
     "tumbling_counts",
