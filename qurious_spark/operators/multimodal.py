@@ -224,6 +224,27 @@ def _is_wav(blob: bytes) -> bool:
     return blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
 
 
+def _decode_gray(b: bytes, meta, deterministic_fake: bool) -> np.ndarray:
+    """Per-blob grayscale dispatch: real PPM/PGM decode when the blob parses
+    as one, the md5 pseudo-decode when ``deterministic_fake``, else raise.
+    A fake blob whose first bytes collide with the P5/P6 magic (~2^-16 per
+    blob) must still fall back to the fake path, so decode failures are
+    swallowed only in fake mode."""
+    if _is_ppm(b):
+        try:
+            return _decode_ppm(b)
+        except ValueError:
+            if not deterministic_fake:
+                raise
+    if deterministic_fake:
+        w, h = int(meta["width"]), int(meta["height"])
+        return _fake_pixels(b, w, h).astype(np.float64)
+    raise NotImplementedError(
+        "only binary PPM/PGM decodes without PIL/opencv (absent in this "
+        "container); pass deterministic_fake=True for other formats"
+    )
+
+
 def decode_image_features(
     df: DataFrame,
     deterministic_fake: bool = False,
@@ -251,19 +272,8 @@ def decode_image_features(
             # per-blob work is inherently row-wise (variable-size payloads),
             # but column zip avoids pandas' per-row Series construction
             for mid, blob, meta in zip(pdf["media_id"], pdf["blob"], pdf["meta"]):
-                b = bytes(blob)
-                if _is_ppm(b):
-                    px = _decode_ppm(b)
-                    h, w = px.shape
-                elif deterministic_fake:
-                    w, h = int(meta["width"]), int(meta["height"])
-                    px = _fake_pixels(b, w, h)
-                else:
-                    raise NotImplementedError(
-                        "only binary PPM/PGM decodes without PIL/opencv "
-                        "(absent in this container); pass "
-                        "deterministic_fake=True for other formats"
-                    )
+                px = _decode_gray(bytes(blob), meta, deterministic_fake)
+                h, w = px.shape
                 # feature: per-column-stripe means, fixed dim
                 stripes = np.array_split(px, feature_dim, axis=1)
                 out["media_id"].append(mid)
@@ -358,17 +368,22 @@ def decode_audio_features(
             }
             for mid, blob, meta in zip(pdf["media_id"], pdf["blob"], pdf["meta"]):
                 b = bytes(blob)
+                sr = samples = None
                 if _is_wav(b):
-                    sr, samples = _decode_wav(b)
-                elif deterministic_fake:
+                    try:
+                        sr, samples = _decode_wav(b)
+                    except Exception:
+                        if not deterministic_fake:
+                            raise
+                if samples is None:
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "only RIFF/WAVE decodes without soundfile/librosa "
+                            "(absent in this container); pass "
+                            "deterministic_fake=True for other formats"
+                        )
                     sr = int(meta["sample_rate"])
                     samples = np.frombuffer(b, dtype=np.int8).astype(np.float64)
-                else:
-                    raise NotImplementedError(
-                        "only RIFF/WAVE decodes without soundfile/librosa "
-                        "(absent in this container); pass "
-                        "deterministic_fake=True for other formats"
-                    )
                 out["media_id"].append(mid)
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(len(samples))
@@ -409,26 +424,10 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real image decoding needs PIL/opencv (absent in this "
-                    "container); pass deterministic_fake=True"
-                )
             out = {"media_id": [], "width": [], "height": [], "pixels": []}
             for mid, blob, meta in zip(pdf["media_id"], pdf["blob"], pdf["meta"]):
-                b = bytes(blob)
-                if _is_ppm(b):
-                    px = _decode_ppm(b).astype(np.uint8)
-                    h, w = px.shape
-                elif deterministic_fake:
-                    w, h = int(meta["width"]), int(meta["height"])
-                    px = _fake_pixels(b, w, h)
-                else:
-                    raise NotImplementedError(
-                        "only binary PPM/PGM decodes without PIL/opencv "
-                        "(absent in this container); pass "
-                        "deterministic_fake=True for other formats"
-                    )
+                px = _decode_gray(bytes(blob), meta, deterministic_fake).astype(np.uint8)
+                h, w = px.shape
                 ys = (np.arange(out_height) * h // out_height)
                 xs = (np.arange(out_width) * w // out_width)
                 small = px[np.ix_(ys, xs)]

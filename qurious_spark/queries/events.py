@@ -212,19 +212,28 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(tumbling_counts(stream), name)
 
 
+_STAGED_EVENTS: dict[tuple[int, str], str] = {}
+
+
 def _staged_events_stream(spark: SparkSession, sf_dir: str):
     """Stage the events table into a directory and open it as a file-source
-    stream (file streams read directories, not single files)."""
+    stream (file streams read directories, not single files). The staging
+    write runs ONCE per (session, sf_dir) — the three stream queries share
+    it instead of each rewriting the table into a fresh tempdir."""
     import os
     import tempfile
 
     from qurious_spark.sources.readers import read_parquet
     from qurious_spark.streaming import read_events_stream
 
-    d = os.path.join(tempfile.mkdtemp(prefix="qurious_evstream_"), "events")
-    read_parquet(spark, os.path.join(sf_dir, "events.parquet")).repartition(
-        4
-    ).write.mode("overwrite").parquet(d)
+    key = (id(spark), sf_dir)
+    d = _STAGED_EVENTS.get(key)
+    if d is None:
+        d = os.path.join(tempfile.mkdtemp(prefix="qurious_evstream_"), "events")
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet")).repartition(
+            4
+        ).write.mode("overwrite").parquet(d)
+        _STAGED_EVENTS[key] = d
     return read_events_stream(spark, d)
 
 

@@ -135,8 +135,10 @@ def write_ppm_fixture() -> None:
                 "feature": [float(s.mean()) for s in np.array_split(fpx, _PPM_DIM, axis=1)],
             }
         )
-    pq.write_table(pa.Table.from_pylist(media), PPM_MEDIA_PATH)
-    pq.write_table(pa.Table.from_pylist(expected), PPM_EXPECTED_PATH)
+    from qurious_spark.queries.sources import _write_atomic
+
+    _write_atomic(pa.Table.from_pylist(media), PPM_MEDIA_PATH)
+    _write_atomic(pa.Table.from_pylist(expected), PPM_EXPECTED_PATH)
 
 
 try:

@@ -42,8 +42,18 @@ def write_uint_fixture(path: str = UINT_FIXTURE_PATH) -> str:
             "u64": pa.array([0, 2**63, 2**64 - 1], pa.uint64()),
         }
     )
-    pq.write_table(table, path)
+    _write_atomic(table, path)
     return path
+
+
+def _write_atomic(table, path: str) -> None:
+    """Write-then-rename so concurrent importers/readers of the shared
+    fixture path never observe a half-written parquet file."""
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
 
 try:

@@ -316,13 +316,25 @@ class Session:
         # it, session.rs:78-81) — materialize it as a temp view on demand so
         # arbitrary SELECTs against it work too.
         if re.search(r"\binformation_schema\s*\.\s*tables\b", rewritten, re.IGNORECASE):
-            self._show_tables().createOrReplaceTempView("q_information_schema_tables")
-            rewritten = re.sub(
-                r"\binformation_schema\s*\.\s*tables\b",
-                "q_information_schema_tables",
-                rewritten,
-                flags=re.IGNORECASE,
-            )
+            # substitute only OUTSIDE single-quoted string literals: split on
+            # quotes — even-indexed chunks are outside strings (doubled ''
+            # escapes produce empty odd chunks, which round-trip unchanged)
+            chunks = rewritten.split("'")
+            replaced = False
+            for i in range(0, len(chunks), 2):
+                new = re.sub(
+                    r"\binformation_schema\s*\.\s*tables\b",
+                    "q_information_schema_tables",
+                    chunks[i],
+                    flags=re.IGNORECASE,
+                )
+                replaced = replaced or new != chunks[i]
+                chunks[i] = new
+            if replaced:
+                self._show_tables().createOrReplaceTempView(
+                    "q_information_schema_tables"
+                )
+                rewritten = "'".join(chunks)
         rewritten = self._rewrite_time_travel(rewritten)
         m_hist = re.match(
             r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$", rewritten, re.IGNORECASE

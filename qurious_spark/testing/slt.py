@@ -196,14 +196,20 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]]) -> bool:
 def _is_top_level_ordered(sql: str) -> bool:
     """True only for a top-level ORDER BY — one inside a subquery, an OVER()
     window, or a string literal doesn't order the outer result and must not
-    force an ordered compare."""
+    force an ordered compare. Scans past top-level ORDER tokens that are not
+    followed by BY (e.g. a column named "order") instead of bailing."""
     from qurious_spark.dialect import _find_top_level_keyword
 
-    i = _find_top_level_keyword(sql, "ORDER")
-    if i < 0:
-        return False
-    rest = sql[i + len("ORDER") :].lstrip()
-    return rest[:2].upper() == "BY"
+    pos = 0
+    while True:
+        i = _find_top_level_keyword(sql[pos:], "ORDER")
+        if i < 0:
+            return False
+        abs_i = pos + i
+        rest = sql[abs_i + len("ORDER") :].lstrip()
+        if rest[:2].upper() == "BY" and (len(rest) == 2 or not (rest[2].isalnum() or rest[2] == "_")):
+            return True
+        pos = abs_i + len("ORDER")
 
 
 def _compare(rec: Record, actual: list[list[str]]) -> str | None:

@@ -156,3 +156,24 @@ def test_unknown_format_without_fake_raises(spark):
     media = synthetic_media(spark, n=2, kind="image")
     with __import__("pytest").raises(Exception, match="PPM|PIL"):
         decode_image_features(media).collect()
+
+
+def test_resize_images_real_ppm_without_fake_flag(spark):
+    from qurious_spark.operators.multimodal import resize_images, synthetic_ppm_media
+
+    media = synthetic_ppm_media(spark, n=4, width=24, height=16)
+    rows = resize_images(media, out_width=8, out_height=6).collect()
+    assert len(rows) == 4
+    assert all(len(bytes(r.pixels)) == 8 * 6 for r in rows)
+
+
+def test_fake_blob_with_ppm_magic_falls_back(spark):
+    from qurious_spark.operators.multimodal import MEDIA_SCHEMA, decode_image_features
+
+    # adversarial fake blob: starts with the P5 magic but is not a PPM
+    blob = bytearray(b"P5 not really a ppm \xff\xfe")
+    media = spark.createDataFrame(
+        [(1, "image", blob, (8, 4, 1, 0, "fake"))], MEDIA_SCHEMA
+    )
+    rows = decode_image_features(media, deterministic_fake=True).collect()
+    assert rows[0].width == 8 and rows[0].height == 4  # fake path used meta dims

@@ -369,3 +369,8 @@ def test_information_schema_tables_queryable(fresh):
         "SELECT count(*) AS c FROM information_schema.tables"
     ).collect()[0].c
     assert n >= 1
+
+
+def test_information_schema_in_string_literal_untouched(fresh):
+    row = fresh.sql("SELECT 'see information_schema.tables' AS s").collect()[0]
+    assert row.s == "see information_schema.tables"

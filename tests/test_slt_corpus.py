@@ -121,3 +121,12 @@ def test_ordered_compare_only_for_top_level_order_by():
     )
     assert not _is_top_level_ordered("SELECT 'order by' AS s FROM t")
     assert not _is_top_level_ordered("SELECT ordering FROM t")
+
+
+def test_order_token_not_followed_by_by_is_skipped():
+    from qurious_spark.testing.slt import _is_top_level_ordered
+
+    # a top-level ORDER token that is not ORDER BY must not stop the scan
+    assert _is_top_level_ordered('SELECT "order" FROM t ORDER BY 1')
+    assert not _is_top_level_ordered('SELECT "order" FROM t')
+    assert _is_top_level_ordered("SELECT ordering, x FROM t ORDER   BY x")
