@@ -267,3 +267,48 @@ register(
     lambda spark, sf_dir: D.minhash_lsh_ml(table(spark, sf_dir, "documents")),
     None,
 )
+
+
+_DOC_STREAM_STAGE: dict[tuple[int, str], str] = {}
+_DOC_STREAM_RUNS = __import__("itertools").count()
+
+
+@df_query(
+    "dedup_stream_exact",
+    f"""
+    SELECT DISTINCT md5({_NORM}) AS fp FROM documents
+    """,
+)
+def dedup_stream_exact(spark, sf_dir):
+    """Streaming exact dedup on the hard signal: documents arrive as a file
+    stream, streaming/dedup.stream_dedup_exact drops repeats by the md5
+    fingerprint (append mode, availableNow drain), and the surviving
+    fingerprint SET — deterministic even though dropDuplicates keeps an
+    arbitrary row per key — must equal the batch SELECT DISTINCT oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.dedup import normalize
+    from qurious_spark.sources.readers import read_parquet
+    from qurious_spark.streaming import run_to_memory
+    from qurious_spark.streaming.dedup import stream_dedup_exact
+
+    key = (id(spark), sf_dir)
+    d = _DOC_STREAM_STAGE.get(key)
+    src = os.path.join(sf_dir, "documents.parquet")
+    if d is None:
+        d = os.path.join(tempfile.mkdtemp(prefix="qurious_docstream_"), "documents")
+        read_parquet(spark, src).repartition(4).write.mode("overwrite").parquet(d)
+        _DOC_STREAM_STAGE[key] = d
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    name = f"q_stream_dedup_{next(_DOC_STREAM_RUNS)}"
+    kept = stream_dedup_exact(stream)
+    result = run_to_memory(
+        kept.select(F.md5(normalize(F.col("text"))).alias("fp")),
+        name,
+        output_mode="append",
+    )
+    return result
