@@ -281,3 +281,39 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("f3"), F.lit(0.0)), 6).alias("top3_frac"),
         )
     )
+
+
+@df_query(
+    "text_fuzzy_join",
+    """
+    WITH typos AS (
+        SELECT n_nationkey AS typo_id,
+               substr(n_name, 1, 2) || substr(n_name, 4) AS typo
+        FROM nation
+    )
+    SELECT t.typo_id, t.typo, n.n_name AS matched,
+           CAST(levenshtein(t.typo, n.n_name) AS INT) AS dist
+    FROM typos t, nation n
+    WHERE levenshtein(t.typo, n.n_name) <= 1
+    """,
+)
+def text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join via q-gram candidate pruning
+    (operators/fuzzyjoin.py): nation names with their 3rd character deleted
+    are matched back within distance 1. The oracle brute-forces
+    levenshtein over all pairs — the pruned inverted-index join must find
+    exactly the same matches (the count-filter bound is lossless at these
+    lengths)."""
+    from qurious_spark.operators.fuzzyjoin import fuzzy_join
+
+    nation = table(spark, sf_dir, "nation")
+    typos = nation.select(
+        F.col("n_nationkey").alias("typo_id"),
+        F.concat(
+            F.substring("n_name", 1, 2), F.expr("substring(n_name, 4)")
+        ).alias("typo"),
+    )
+    out = fuzzy_join(typos, nation.select("n_name"), "typo", "n_name", max_dist=1, q=2)
+    return out.select(
+        "typo_id", "typo", F.col("n_name").alias("matched"), F.col("dist")
+    )
