@@ -74,3 +74,68 @@ def range_join(
         unmatched = p.join(i, cond, "left_anti")
         out = matched.unionByName(unmatched, allowMissingColumns=True)
     return out.drop("__p", "__s", "__e", "__pbin", "__ibin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: Column,
+    l_end: Column,
+    r_start: Column,
+    r_end: Column,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Join interval rows of ``left`` to interval rows of ``right`` where the
+    intervals overlap (``l_start <= r_end AND r_start <= l_end``, inclusive),
+    optionally also equi-keyed on ``on`` columns (e.g. the same user).
+
+    Same bin-bucketing idea as :func:`range_join`, applied to BOTH sides:
+    each interval explodes to the bins it covers; overlapping intervals
+    share at least one bin, so candidates come from an equi-join on
+    (``on`` keys + bin id), deduplicated, then the exact overlap predicate
+    is re-checked. Compares drop from |L| x |R| to pairs sharing a bin —
+    pick ``bin_width`` near the typical interval length. Correctness never
+    depends on the width.
+    """
+    w = float(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+    keys = list(on or [])
+
+    def prep(df: DataFrame, start: Column, end: Column, side: str) -> DataFrame:
+        s, e = f"__{side}s", f"__{side}e"
+        out = (
+            df.withColumn(s, start.cast("double"))
+            .withColumn(e, end.cast("double"))
+            .filter(F.col(s) <= F.col(e))
+        )
+        return out.select(
+            *keys,
+            F.struct(*[F.col(c) for c in df.columns]).alias(f"__{side}"),
+            F.col(s),
+            F.col(e),
+            F.explode(
+                F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w))
+            ).alias("__bin"),
+        )
+
+    lg = prep(left, l_start, l_end, "l")
+    rg = prep(right, r_start, r_end, "r")
+    cand = (
+        lg.join(rg, keys + ["__bin"])
+        .filter((F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le")))
+        # an overlapping pair shares every bin in the overlap — keep one
+        .withColumn(
+            "__first_shared",
+            F.greatest(
+                F.floor(F.col("__ls") / w), F.floor(F.col("__rs") / w)
+            ),
+        )
+        .filter(F.col("__bin") == F.col("__first_shared"))
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__r.{c}").alias(f"r_{c}" if c in left.columns else c)
+        for c in right.columns
+    ]
+    return cand.select(*out_cols)

@@ -289,3 +289,44 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _staged_events_stream(spark, sf_dir)
     name = f"q_stream_session_{next(_STREAM_RUNS)}"
     return run_to_memory(sessionized_counts(stream), name)
+
+
+@df_query(
+    "events_interval_overlap",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c, events p
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND c.user_id = p.user_id
+      AND epoch(c.ts) <= epoch(p.ts) + 3600
+      AND epoch(p.ts) <= epoch(c.ts) + 1800
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/rangejoin.interval_overlap_join):
+    per-user click windows [ts, ts+30m] against purchase windows
+    [ts, ts+1h]; candidates from a (user_id, bin) equi-join — never a
+    BNLJ — with the exact overlap predicate as a residual. The oracle
+    brute-forces the overlap in epoch seconds."""
+    from qurious_spark.operators.rangejoin import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id"), "user_id", F.unix_timestamp("ts").alias("t0")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), "user_id", F.unix_timestamp("ts").alias("t0")
+    )
+    out = interval_overlap_join(
+        clicks,
+        purchases,
+        F.col("t0"),
+        F.col("t0") + 1800,
+        F.col("t0"),
+        F.col("t0") + 3600,
+        bin_width=3600.0,
+        on=["user_id"],
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"), F.col("r_event_id").alias("purchase_id")
+    )

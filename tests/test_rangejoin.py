@@ -66,3 +66,38 @@ def test_plan_has_no_nested_loop(frames):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 25.0), (3, 5.0, 6.0), (4, 100.0, 200.0)],
+        "lid int, s double, e double",
+    )
+    right = spark.createDataFrame(
+        [(10, 9.0, 21.0), (11, 6.5, 7.0), (12, 199.0, 300.0), (13, 500.0, 501.0)],
+        "rid int, s double, e double",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, F.col("s"), F.col("e"), F.col("s"), F.col("e"), bin_width=7.0
+        ).collect()
+    }
+    brute = {
+        (r.lid, r.rid)
+        for r in left.alias("l")
+        .crossJoin(right.alias("r"))
+        .filter((F.col("l.s") <= F.col("r.e")) & (F.col("r.s") <= F.col("l.e")))
+        .collect()
+    }
+    assert got == brute
+    assert (1, 10) in got and (2, 10) in got and (4, 12) in got and (3, 10) not in got
+    # each overlapping pair appears exactly once despite multi-bin overlaps
+    rows = interval_overlap_join(
+        left, right, F.col("s"), F.col("e"), F.col("s"), F.col("e"), bin_width=0.5
+    ).collect()
+    assert len(rows) == len({(r.lid, r.rid) for r in rows})
