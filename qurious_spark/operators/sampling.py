@@ -66,3 +66,43 @@ def stratified_topk_exact(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-RES): each row draws a reproducible uniform u from the md5
+    hash of its id and ranks by key = u^(1/w) — the top-k keys are a
+    weighted sample, rows with larger ``weight_col`` proportionally more
+    likely. With ``stratum_col``, k rows per stratum (partitioned window);
+    without, a global top-k (TakeOrderedAndProject — no single-partition
+    window).
+
+    Determinism: u is hash-derived (no RNG state), the key is rounded to 9
+    decimals before ranking, and ties break on id — so any engine computing
+    the same arithmetic selects the same set (the DuckDB oracle does).
+    """
+    u = (md5_int(F.col(id_col).cast("string")) % HASH_M + 0.5) / float(HASH_M)
+    key = F.round(
+        F.pow(u, 1.0 / F.col(weight_col).cast("double")), 9
+    ).alias("__key")
+    keyed = df.withColumn("__key", key)
+    if stratum_col is not None:
+        w = Window.partitionBy(stratum_col).orderBy(
+            F.col("__key").desc(), F.col(id_col).asc()
+        )
+        return (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn", "__key")
+        )
+    return (
+        keyed.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key")
+    )

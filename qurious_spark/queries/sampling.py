@@ -45,3 +45,26 @@ def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.stratified_topk_exact(docs, "source", "doc_id", 5).select(
         "doc_id", "source"
     )
+
+
+@df_query(
+    "sample_weighted_ares",
+    f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROUND(POW(({_SLOT} + 0.5) / {SA.HASH_M}.0,
+                         1.0 / CAST(n_chars AS DOUBLE)), 9) AS k
+        FROM documents
+    )
+    ORDER BY k DESC, doc_id LIMIT 40
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-RES, weight = n_chars): longer
+    documents are proportionally more likely; the hash-derived uniform
+    makes the selected set reproducible, so the oracle computes the exact
+    same top-k."""
+    docs = table(spark, sf_dir, "documents")
+    return SA.weighted_sample_ares(docs, "n_chars", "doc_id", 40).select(
+        "doc_id", "source"
+    )

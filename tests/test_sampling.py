@@ -52,3 +52,40 @@ def test_topk_deterministic(session):
     a = _ids(SA.stratified_topk_exact(docs, "source", "doc_id", 3))
     b = _ids(SA.stratified_topk_exact(docs, "source", "doc_id", 3))
     assert a == b and len(a) > 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.sampling import weighted_sample_ares
+
+    # 200 light rows (w=1) + 200 heavy rows (w=100): a 50-row weighted
+    # sample should be dominated by heavy rows
+    df = spark.range(400).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 200, 1.0).otherwise(100.0).alias("w"),
+    )
+    got = weighted_sample_ares(df, "w", "rid", 50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.w == 100.0)
+    assert heavy >= 40  # expected ~49; deterministic given the hash
+    # deterministic: same call, same set
+    again = {r.rid for r in weighted_sample_ares(df, "w", "rid", 50).collect()}
+    assert again == {r.rid for r in got}
+
+
+def test_weighted_sample_stratified(spark):
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.sampling import weighted_sample_ares
+
+    df = spark.range(100).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 7 + 1.0).alias("w"),
+    )
+    got = weighted_sample_ares(df, "w", "rid", 5, stratum_col="g").collect()
+    per = {}
+    for r in got:
+        per[r.g] = per.get(r.g, 0) + 1
+    assert per == {0: 5, 1: 5, 2: 5, 3: 5}
