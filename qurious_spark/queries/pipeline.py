@@ -227,3 +227,55 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 17 != 0)
     _, contaminated = decontaminate(train, ev, n=DECON_N)
     return contaminated
+
+
+def _profile_oracle_one(col: str, numeric: bool) -> str:
+    stats = (
+        f"ROUND(CAST(MIN({col}) AS DOUBLE), 6) AS min_v, "
+        f"ROUND(CAST(MAX({col}) AS DOUBLE), 6) AS max_v, "
+        f"ROUND(CAST(AVG({col}) AS DOUBLE), 6) AS avg_v"
+        if numeric
+        else "CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, "
+        "CAST(NULL AS DOUBLE) AS avg_v"
+    )
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {stats}
+    FROM documents
+    """
+
+
+@df_query(
+    "pipeline_profile",
+    " UNION ALL ".join(
+        [
+            _profile_oracle_one("doc_id", True),
+            _profile_oracle_one("n_chars", True),
+            _profile_oracle_one("lang", False),
+            _profile_oracle_one("source", False),
+        ]
+    ),
+)
+def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (operators/profile.py): every column's
+    null count, cardinality, and numeric range/mean from ONE scan + one
+    aggregation, unpivoted to long format. The oracle restates each
+    column's stats as a separate aggregate query."""
+    from qurious_spark.operators.profile import profile
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang", "source"
+    )
+    p = profile(docs)
+    return p.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
