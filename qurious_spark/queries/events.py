@@ -330,3 +330,43 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_id").alias("click_id"), F.col("r_event_id").alias("purchase_id")
     )
+
+
+@df_query(
+    "events_funnel",
+    """
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+          AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM t2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM t3)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnel.py): users doing view → click →
+    purchase in strict event-time order within 24h of the first view. The
+    oracle restates the conditional-MIN chain as explicit CTEs."""
+    from qurious_spark.operators.funnel import funnel_counts
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within="24 HOURS"
+    )
