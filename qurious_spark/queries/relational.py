@@ -172,14 +172,20 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @df_query(
     "join_left_anti",
+    # Anti-join against a FILTERED orders subset: every testdata customer has
+    # at least one order, so an unfiltered NOT EXISTS returns 0 rows and a
+    # broken anti-join that always returns empty would also "pass". The
+    # >300000 filter leaves a non-empty, discriminating result (30 rows at
+    # sf0.01).
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -200,7 +200,10 @@ sql_query(
 
 # Q9 — product type profit (reference q9.slt). Adapted: no ps_supplycost, so
 # profit is revenue minus a quantity-proportional cost proxy. Keeps the
-# LIKE-filtered part join + nation/year grouping shape.
+# LIKE-filtered part join + nation/year grouping shape. The LIKE token is
+# '%ring%' (not TPC-H's color words): the driver testdata's part names are
+# adjective+noun pairs ("small ring", "hot bolt", ...), so a color token
+# matches zero rows and the query would be vacuously green.
 sql_query(
     "tpch_q9",
     """
@@ -214,7 +217,7 @@ sql_query(
           AND p.p_partkey = l.l_partkey
           AND o.o_orderkey = l.l_orderkey
           AND s.s_nationkey = n.n_nationkey
-          AND p.p_name LIKE '%green%'
+          AND p.p_name LIKE '%ring%'
     ) profit
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
