@@ -98,43 +98,46 @@ def load_all() -> None:
 
 
 # The driver hash-checks a bounded prefix (~50 entries) of ``queries()``.
-# This ordering packs ≥1 representative of every SURVEY §2.1–§2.5 row and
-# every LLM-pipeline family into that prefix; everything after it keeps
-# registration order and stays covered by the local oracle gate
+# Round-4 rotation: 12 queries that were driver-green in CORRECTNESS_r03
+# (limit_offset, select_no_from, values_inline, cross_join, topn_orders,
+# join_inner, join_non_equi, comma_join_elimination, sort_multi_key,
+# filter_null_kleene, projection_arith, intersect_keys — their §2 rows keep
+# their r03 hard-signal rows cumulatively) rotated out in favor of
+# never-driver-checked entries, growing the set of queries that have EVER
+# had a green driver row. Everything outside the prefix keeps registration
+# order and stays covered by the local oracle gate
 # (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # flagship + DDL/DML/MERGE (§2.1 Ddl/Dml, §2.2 managed table)
     "tpch_q1",
     "dml_roundtrip",
     "merge_upsert",
-    # §2.2 sources: CSV + COPY TO + read_csv fn / NDJSON / COPY FROM .tbl
+    # §2.2 sources: CSV + COPY TO + read_csv fn / NDJSON / COPY FROM .tbl,
+    # uint-typed parquet, information_schema catalog
     "source_csv_roundtrip",
     "source_ndjson_roundtrip",
     "source_copy_tbl",
+    "source_uint_parquet",
+    "catalog_information_schema",
     # §2.5 windows, set ops, CTE, streaming, UDF. (The SubqueryAlias row is
     # evidenced by cte_query: the reference plans CTEs as SubqueryAlias
     # nodes — SURVEY §3.1 — so the single-purpose subquery_alias query can
     # live outside the window.)
     "window_running_sum",
-    "intersect_keys",
+    "window_rank_dense",
     "cte_query",
     "events_stream_tumbling",
+    "events_stream_sliding",
+    "events_stream_session",
     "udf_vectorized",
-    # §2.1 plan operators
-    "projection_arith",
-    "filter_null_kleene",
-    "sort_multi_key",
-    "limit_offset",
-    "topn_orders",
-    "select_no_from",
-    "values_inline",
-    "cross_join",
-    "join_inner",
+    # §2.1/§2.3 rotated-in: partsupp-topology q11, qualified wildcard
+    "tpch_q11_partsupp",
+    "wildcard_qualified",
+    # §2.1 join operators (outer/semi/anti stay: full-outer NULL handling,
+    # semi/anti row semantics are the discriminating cases)
     "join_full_outer",
     "join_left_semi",
     "join_left_anti",
-    "join_non_equi",
-    "comma_join_elimination",
     # §2.3 expression suites (BETWEEN/IN/LIKE/IS NULL; CASE/cast/interval/
     # EXTRACT/alias-in-GROUP-BY; EXISTS/IN-subq/scalar-subq + no-grouping agg)
     "predicate_suite",
@@ -164,6 +167,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_mix_corpora",
     "pipeline_training_data",
     "events_asof_join",
+    # rotated-in LLM-pipeline / operator entries never driver-checked before
+    "events_funnel",
+    "text_fuzzy_join",
+    "range_join_binned",
+    "pipeline_decontaminate",
+    "multimodal_image_features",
 )
 
 

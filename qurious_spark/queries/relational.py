@@ -211,6 +211,19 @@ sql_query(
     """,
 )
 
+# Qualified wildcard expansion (reference sql.rs:1288-1325: Wildcard /
+# QualifiedWildcard select items): t.* expands to exactly t's columns even
+# when other relations are in scope — a bare * here would also pull r's.
+sql_query(
+    "wildcard_qualified",
+    """
+    SELECT n.*, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name <> 'ASIA'
+    ORDER BY n.n_nationkey
+    """,
+)
+
 # --------------------------------------------------------------------------- #
 # Predicates: IN / BETWEEN / LIKE / IS NULL / CASE  (reference §2.3)
 # --------------------------------------------------------------------------- #

@@ -172,3 +172,41 @@ def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_quantity > 45
         """
     )
+
+
+@df_query(
+    "catalog_information_schema",
+    # Literal oracle: the managed catalog is built inside the query, so its
+    # contents are fully determined — two created tables, one dropped.
+    """
+    SELECT table_name, table_type
+    FROM (VALUES ('infs_orders_copy', 'BASE TABLE'),
+                 ('infs_region_copy', 'BASE TABLE')) t(table_name, table_type)
+    ORDER BY table_name
+    """,
+)
+def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema.tables as a real queryable relation (reference:
+    qurious/src/execution/information_schema.rs:12-46; SHOW TABLES is sugar
+    over it, session.rs:78-81). Creates managed tables, drops one, then
+    SELECTs from information_schema.tables with a WHERE + ORDER BY — proving
+    the relation participates in ordinary query plans, not just SHOW."""
+    from qurious_spark.queries import ensure_views
+    from qurious_spark.session import Session
+
+    ensure_views(spark, sf_dir)
+    s = Session(spark)
+    for t in ("infs_region_copy", "infs_orders_copy", "infs_dropped"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE infs_region_copy AS SELECT * FROM region")
+    s.sql("CREATE TABLE infs_orders_copy AS SELECT o_orderkey FROM orders LIMIT 5")
+    s.sql("CREATE TABLE infs_dropped AS SELECT 1 AS x")
+    s.sql("DROP TABLE infs_dropped")
+    return s.sql(
+        """
+        SELECT table_name, table_type
+        FROM information_schema.tables
+        WHERE table_name LIKE 'infs_%'
+        ORDER BY table_name
+        """
+    )
