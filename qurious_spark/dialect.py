@@ -419,45 +419,50 @@ def _parse_literal(raw: str) -> object:
 
 
 def _find_top_level_keyword(s: str, keyword: str) -> int:
-    """Index of the first whole-word ``keyword`` outside parens and string
-    literals; -1 if absent. Same depth/quote rules as
-    _split_top_level_commas."""
+    """Index of the first whole-word ``keyword`` outside parens, string
+    literals, and quoted identifiers ("..." / `...`); -1 if absent. Same
+    depth/quote rules as _split_top_level_commas — an alias like
+    ``SELECT a AS "order by"`` must not register as a keyword hit."""
     kw = keyword.upper()
-    depth, in_str = 0, False
+    depth, quote = 0, None
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and s[i : i + len(kw)].upper() == kw:
-                before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
-                after = i + len(kw)
-                after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
-                if before_ok and after_ok:
-                    return i
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + len(kw)].upper() == kw:
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            after = i + len(kw)
+            after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
+            if before_ok and after_ok:
+                return i
         i += 1
     return -1
 
 
 def _split_top_level_commas(s: str) -> list[str]:
-    parts, depth, in_str, cur = [], 0, False, []
+    parts, depth, quote, cur = [], 0, None, []
     for ch in s:
-        if ch == "'" :
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append("".join(cur))
-                cur = []
-                continue
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
         cur.append(ch)
     parts.append("".join(cur))
     return parts

@@ -76,8 +76,11 @@ def funnel_counts(
             for i in range(1, len(steps) + 1)
         ]
     )
+    # escape embedded quotes: a step name like "add'l" must survive the
+    # stack() SQL string as a valid literal
+    lits = [s.replace("'", "''") for s in steps]
     rows = ", ".join(
-        f"{i}, '{s}', __c{i}" for i, s in enumerate(steps, start=1)
+        f"{i}, '{s}', __c{i}" for i, s in enumerate(lits, start=1)
     )
     return counts.select(
         F.expr(f"stack({len(steps)}, {rows}) AS (step, step_name, n_users)")

@@ -47,8 +47,12 @@ def fuzzy_join(
     Lossless for strings of length ≥ q·(max_dist+1) (q-gram count-filter
     bound guarantees ≥1 shared gram); callers joining very short keys
     should lower ``q`` to 1, where the bound holds from length
-    ``max_dist+1``. Returns left columns, right columns (``r_``-prefixed on
-    name clashes), and ``dist``.
+    ``max_dist+1``. ``max_gram_freq`` trades recall for skew resistance:
+    pruning hot q-grams from BOTH sides can drop true matches whose only
+    shared grams are the pruned ones — the losslessness claim above holds
+    only with ``max_gram_freq=None`` (same trade as dedup's
+    ``max_shingle_freq``). Returns left columns, right columns
+    (``r_``-prefixed on name clashes), and ``dist``.
     """
     lg = left.select(
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),

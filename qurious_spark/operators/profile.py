@@ -38,7 +38,10 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     one = df.agg(*aggs)
     stack_args = []
     for c in cols:
-        stack_args.append(f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}, __avg_{c}")
+        # escape embedded quotes so a column name containing ' stays a
+        # valid SQL literal inside the stack() expression
+        lit = c.replace("'", "''")
+        stack_args.append(f"'{lit}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}, __avg_{c}")
     stacked = one.select(
         F.col("__n").alias("n_rows"),
         F.expr(

@@ -86,7 +86,13 @@ def weighted_sample_ares(
     Determinism: u is hash-derived (no RNG state), the key is rounded to 9
     decimals before ranking, and ties break on id — so any engine computing
     the same arithmetic selects the same set (the DuckDB oracle does).
+
+    Rows with NULL or non-positive weight are excluded up front — the A-RES
+    key u^(1/w) is undefined there (w=0 → u^inf = 0 silently never sampled,
+    w<0 → keys > 1 that always rank first, NULL → NULL key), so dropping
+    them is the only behavior that keeps the sample well-defined.
     """
+    df = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
     u = (md5_int(F.col(id_col).cast("string")) % HASH_M + 0.5) / float(HASH_M)
     key = F.round(
         F.pow(u, 1.0 / F.col(weight_col).cast("double")), 9

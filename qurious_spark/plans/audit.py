@@ -33,10 +33,18 @@ ALLOW_NON_EQUI = {
     "embedding_cosine_pairs",  # all-pairs similarity is a deliberate cross join at bounded n
     "embedding_dup_clusters",  # fed by the same all-pairs cosine emitter
     "ann_topk_bruteforce",  # query-point x corpus scoring
-    "ann_ivf_topk",
+    "ann_ivf_topk",  # recall invariant embeds a brute-force exact reference
+    "ann_pq_topk",  # same: exact top-10 reference ranking inside the entry
     "dedup_minhash_ml",  # MLlib approxSimilarityJoin internals
-    # crossJoin(broadcast(<1-row global aggregate>)) — the scale-safe way to
-    # apply a global threshold; the BNLJ's build side is exactly one row
+    # 1-row x 1-row: the invariant entry crossJoins the merged-HLL estimate
+    # with the exact global distinct (both single-row aggregates)
+    "sketch_hll_rollup",
+    # INTENDED, not a leftover cartesian: q11's global threshold is applied
+    # as crossJoin(broadcast(<1-row re-aggregated total>)) — the build side
+    # is exactly one row, so the BNLJ is O(n). This replaced the
+    # unpartitioned-window plan that funneled every part through a single
+    # partition (the round-2 scale-killer); do NOT "fix" it back into a
+    # window. See queries/tpch.py tpch_q11 docstring.
     "tpch_q11",
 }
 

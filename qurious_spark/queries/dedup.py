@@ -261,12 +261,44 @@ register(
 )
 
 
-# Spark ML MinHashLSH — engine-private hashing, rows-only check.
-register(
+@df_query(
     "dedup_minhash_ml",
-    lambda spark, sf_dir: D.minhash_lsh_ml(table(spark, sf_dir, "documents")),
-    None,
+    # The oracle computes the EXACT >=0.5 Jaccard pair count with its own
+    # inverted-index join (independent of any MinHash machinery) and asserts
+    # the recall invariant literally; the boolean is computed Spark-side.
+    f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id AS id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS true_pairs, TRUE AS recall_ok
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common / (sa.sz + sb.sz - common) >= {THRESH}
+    """,
 )
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML MinHashLSH (engine-private hashing — its jaccard_est values
+    are not oracle-replicable) checked via an invariant instead of raw rows:
+    ``true_pairs`` = exact >=0.5 Jaccard pair count (hash-checked against the
+    oracle's independent DuckDB computation) and ``recall_ok`` = the ML
+    candidate set recovered >= 80% of those true pairs (observed recall 1.0
+    at this SF; a broken LSH banding collapses toward 0)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(docs, threshold=THRESH).select("id_a", "id_b")
+    ml = D.minhash_lsh_ml(docs).select("id_a", "id_b")
+    found = exact.join(ml, ["id_a", "id_b"]).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(total, found >= 0.8 * total)], "true_pairs bigint, recall_ok boolean"
+    )
 
 
 _DOC_STREAM_STAGE: dict[tuple[int, str], str] = {}

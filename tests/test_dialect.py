@@ -79,3 +79,13 @@ def test_update_string_literal_containing_where():
     s = parse_ddl_dml("UPDATE t SET a = 'no WHERE clause here'")
     assert s.assignments == {"a": "'no WHERE clause here'"}
     assert s.predicate is None
+
+
+def test_update_where_inside_quoted_identifier_not_split():
+    from qurious_spark.dialect import _find_top_level_keyword, _split_top_level_commas
+
+    # double-quoted identifiers and backticks are opaque to the scanners
+    assert _find_top_level_keyword('a = "x where y"', "WHERE") == -1
+    assert _find_top_level_keyword("a = `x where y`", "WHERE") == -1
+    assert _find_top_level_keyword('a = "x" WHERE b = 1', "WHERE") == 8
+    assert _split_top_level_commas('a = "x, y", b = 2') == ['a = "x, y"', ' b = 2']

@@ -130,3 +130,13 @@ def test_order_token_not_followed_by_by_is_skipped():
     assert _is_top_level_ordered('SELECT "order" FROM t ORDER BY 1')
     assert not _is_top_level_ordered('SELECT "order" FROM t')
     assert _is_top_level_ordered("SELECT ordering, x FROM t ORDER   BY x")
+
+
+def test_quoted_identifiers_do_not_force_ordered_compare():
+    from qurious_spark.testing.slt import _is_top_level_ordered
+
+    # ADVICE r3: a double-quoted (or backtick) identifier containing
+    # "order by" is not a top-level ORDER BY
+    assert not _is_top_level_ordered('SELECT a AS "order by" FROM t')
+    assert not _is_top_level_ordered("SELECT a AS `order by` FROM t")
+    assert _is_top_level_ordered('SELECT a AS "order by" FROM t ORDER BY a')
