@@ -198,8 +198,14 @@ def minhash_signatures(
     only (id, 16 bigints) thanks to map-side partial MINs, so the pattern
     holds at corpus scale.
     """
-    ex = spread(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    sh = spread(df).select(F.col(id_col), shingles(F.col(text_col), k).alias("shs"))
+    return _signatures_from_shingles(sh, id_col)
+
+
+def _signatures_from_shingles(sh_df: DataFrame, id_col: str) -> DataFrame:
+    """Signature aggregate over a precomputed (id, shingle-array) frame."""
+    ex = sh_df.select(
+        F.col(id_col), F.explode("shs").alias("s")
     ).withColumn("h", md5_int(F.col("s")) % MINHASH_P)
     return ex.groupBy(id_col).agg(
         *[
@@ -260,10 +266,22 @@ def minhash_dedup_pairs(
     threshold: float = 0.6,
 ) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard (computed only for
-    candidates — at scale this is the standard two-phase near-dup pipeline)."""
-    sig_df = minhash_signatures(df, text_col, id_col, k)
+    candidates — at scale this is the standard two-phase near-dup pipeline).
+
+    The shingle arrays are computed ONCE and persisted: both the signature
+    aggregate and the exact-verify join read the same materialized frame, so
+    the regex-heavy normalize/tokenize/shingle work runs one time instead of
+    two (this was the dominant recompute and the main run-to-run variance
+    source at bench scale). MEMORY_AND_DISK spills rather than OOMs when the
+    shingle frame outgrows executor memory at corpus scale.
+    """
+    from pyspark import StorageLevel
+
+    sh = spread(df).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_df = _signatures_from_shingles(sh, "id").withColumnRenamed("id", id_col)
     cands = minhash_lsh_candidates(sig_df, id_col)
-    sh = spread(df).select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
     a = sh.withColumnsRenamed({"id": "id_a", "shs": "shs_a"})
     b = sh.withColumnsRenamed({"id": "id_b", "shs": "shs_b"})
     return (
