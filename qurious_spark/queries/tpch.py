@@ -226,9 +226,15 @@ sql_query(
 
 # Q10 — returned item reporting (reference q10.slt). Adapted: c_address /
 # c_phone / c_comment absent, dropped from select list; top-20 tiebroken.
-sql_query(
-    "tpch_q10",
-    """
+#
+# Scale shape (sf1 profiling showed the naive 4-table SQL scaling ~linearly
+# with data): revenue is aggregated on o_custkey alone over the narrow
+# orders⋈lineitem join, so customer attributes (strings) never enter the big
+# shuffle or the aggregation hash table. The per-custkey aggregate (bounded by
+# customer cardinality) is semi-joined against customer keys — keeping the
+# SQL's inner-join semantics for custkeys absent from customer — BEFORE the
+# top-20, and only the 20 surviving rows join back for name/acctbal/nation.
+_Q10_ORACLE = """
     SELECT c.c_custkey, c.c_name,
            ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
            c.c_acctbal, n.n_name
@@ -242,8 +248,7 @@ sql_query(
     GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
-    """,
-)
+    """
 
 # Q11 — important stock identification (reference q11.slt). Adapted: no
 # partsupp, so "value" is lineitem extendedprice*quantity per part. Keeps the
@@ -255,6 +260,60 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from qurious_spark.queries import df_query, ensure_views  # noqa: E402
+
+
+@df_query("tpch_q10", _Q10_ORACLE)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    o = (
+        spark.table("orders")
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-10-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.table("lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(24,4)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+    cust = spark.table("customer")
+    top = (
+        rev.join(
+            cust.select("c_custkey"),
+            rev.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    return (
+        top.join(
+            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            top.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            spark.table("nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    )
 
 
 @df_query(
@@ -338,9 +397,14 @@ sql_query(
 
 # Q13 — customer order-count distribution: LEFT OUTER JOIN with an extra join
 # predicate + double grouping. (o_comment filter → o_orderpriority.)
-sql_query(
-    "tpch_q13",
-    """
+#
+# Scale shape: orders are pre-aggregated to one (custkey, count) row BEFORE
+# the outer join — an aggregate-below-join pushdown Catalyst does not apply
+# on its own. The join then shuffles at most |customer| pre-combined rows
+# instead of every order row; customers with no qualifying orders coalesce to
+# count 0, which is exactly the LEFT JOIN + count(o_orderkey) semantics
+# (o_orderkey is never NULL, so count(o_orderkey) == count of joined rows).
+_Q13_ORACLE = """
     SELECT c_count, count(*) AS custdist
     FROM (
         SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
@@ -350,8 +414,29 @@ sql_query(
     ) c_orders
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
-    """,
-)
+    """
+
+
+@df_query("tpch_q13", _Q13_ORACLE)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    oc = (
+        spark.table("orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    per_cust = (
+        spark.table("customer")
+        .select("c_custkey")
+        .join(oc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
 
 # Q14 — promo revenue share: conditional aggregation ratio over one month.
 sql_query(
