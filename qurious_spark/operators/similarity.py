@@ -54,8 +54,14 @@ def brute_force_topk(
         V.l2_norm(F.col(vec_col), dim).alias("cn"),
     )
     denom = F.col("qn") * F.col("cn")
+    # spread the O(|corpus| x |queries|) scoring across the cluster: a small
+    # corpus file may arrive as one input partition, and the cross join
+    # inherits the streamed side's partitioning — the O(N) repartition is
+    # noise next to the quadratic scoring it parallelizes
+    par = c.sparkSession.sparkContext.defaultParallelism
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.repartition(par)
+        .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
@@ -100,8 +106,12 @@ def cosine_pairs(
         V.l2_norm(F.col(vec_col), dim).alias("nb"),
     )
     denom = F.col("na") * F.col("nb")
+    # same single-input-partition hazard as ann brute-force: parallelize the
+    # O(N^2) pair scoring regardless of how few partitions the source has
+    par = a.sparkSession.sparkContext.defaultParallelism
     return (
-        a.crossJoin(b)
+        a.repartition(par)
+        .crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "sim",

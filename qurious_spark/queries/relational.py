@@ -694,24 +694,39 @@ sql_query(
     JOIN orders
       ON l_shipdate >= o_orderdate
      AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-06-08 00:00:00'
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
 )
 def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via bin bucketing (operators/rangejoin.py):
-    shipments landing inside each order's 7-day window, per priority.
-    The naive BETWEEN condition would plan a BroadcastNestedLoopJoin."""
+    shipments landing inside each order's 7-day window, per priority, for
+    orders placed in one calendar week. The naive BETWEEN condition would
+    plan a BroadcastNestedLoopJoin. The interval side is date-bounded
+    because an every-point x every-interval week-window join has output
+    quadratic in data density (both sides share one fixed time axis) — any
+    engine pays that; the realistic shape is points against a SELECTIVE
+    interval set, and the bin equi-join then prunes every out-of-window
+    point at the shuffle."""
     from qurious_spark.operators.rangejoin import range_join
 
     day = 86400.0
     points = table(spark, sf_dir, "lineitem").select(
         "l_quantity", F.unix_timestamp("l_shipdate").alias("p")
     )
-    intervals = table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.unix_timestamp("o_orderdate").alias("s"),
-        (F.unix_timestamp("o_orderdate") + F.lit(7 * day)).alias("e"),
+    intervals = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-06-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-06-08")))
+        )
+        .select(
+            "o_orderpriority",
+            F.unix_timestamp("o_orderdate").alias("s"),
+            (F.unix_timestamp("o_orderdate") + F.lit(7 * day)).alias("e"),
+        )
     )
     joined = range_join(
         points, intervals, F.col("p"), F.col("s"), F.col("e"), bin_width=7 * day
