@@ -103,6 +103,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def prefix_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens: int = 12,
+) -> DataFrame:
+    """Near-dup collapse on the first ``n_tokens`` normalized tokens.
+
+    Crawled corpora are full of documents that share a boilerplate opening
+    (mirrors, template pages, truncated re-crawls); exact dedup misses them
+    because the tails differ. Grouping on a digest of the opening window is
+    the cheap first-pass filter before MinHash: like :func:`exact_dedup` the
+    shuffle carries (id, 32-byte digest) only — the prefix slice and md5 are
+    map-side JVM expressions, so the pass stays scan-bound at 100 TB.
+
+    Returns one row per prefix group: keeper id (lowest), ``dup_count``,
+    and the prefix digest for joining back.
+    """
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, n_tokens))
+    return (
+        spread(df)
+        .select(F.col(id_col), F.md5(prefix).alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

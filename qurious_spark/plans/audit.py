@@ -46,6 +46,9 @@ ALLOW_NON_EQUI = {
     # partition (the round-2 scale-killer); do NOT "fix" it back into a
     # window. See queries/tpch.py tpch_q11 docstring.
     "tpch_q11",
+    # Same 1-row broadcast-scalar shape as tpch_q11: the P05/P95 bounds
+    # aggregate to exactly one row that joins back as a broadcast filter.
+    "text_length_filter",
 }
 
 # Queries whose Python stages are the point (stubbed decode, MLlib UDFs).

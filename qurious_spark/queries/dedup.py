@@ -87,6 +87,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "dedup_prefix",
+    f"""
+    SELECT md5(array_to_string(toks[1:2], ' ')) AS prefix_fp,
+           MIN(doc_id) AS doc_id,
+           count(*) AS dup_count
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+    GROUP BY 1
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-opening collapse (operators/dedup.py prefix_dedup):
+    documents sharing the same normalized opening window group together.
+    n_tokens=2 here so the synthetic corpus actually produces multi-doc
+    groups (discriminating dup_counts); production default is 12."""
+    return D.prefix_dedup(table(spark, sf_dir, "documents"), n_tokens=2)
+
+
+@df_query(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_CTE},

@@ -370,3 +370,41 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         ev, ["view", "click", "purchase"], within="24 HOURS"
     )
+
+
+@df_query(
+    "events_retention",
+    """
+    WITH cohort AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT c.cohort_date,
+           CAST(a.active_date - c.cohort_date AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_active
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    WHERE a.active_date - c.cohort_date BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted again on
+    each of the next 7 days they return. Two narrow aggregations keyed on
+    user_id (cohort + distinct active days) joined user-to-user — the join
+    keys are already co-partitioned from the aggregations, and the payload
+    is (user_id, date) pairs only, so the plan holds at 100 TB of events."""
+    ev = table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("active_date")).distinct()
+    off = F.datediff("active_date", "cohort_date")
+    return (
+        cohort.join(activity, "user_id")
+        .filter((off >= 0) & (off <= 7))
+        .groupBy("cohort_date", off.cast("bigint").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

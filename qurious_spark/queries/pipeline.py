@@ -279,3 +279,37 @@ def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_v", 6).alias("max_v"),
         F.round("avg_v", 6).alias("avg_v"),
     )
+
+
+def _split_oracle() -> str:
+    from qurious_spark.operators.splitting import split_assignment_sql
+
+    case = split_assignment_sql("doc_id")
+    return f"""
+    SELECT {case} AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """
+
+
+@df_query("pipeline_split_train", _split_oracle())
+def pipeline_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/splitting.py):
+    md5-threshold split keyed on doc_id — stable across runs, engines and
+    repartitioning (rand()-based splits are none of those). Reports per
+    (split, source) doc and token counts; a wrong threshold or a
+    non-content-stable hash shifts the counts and hash-mismatches."""
+    from qurious_spark.operators.splitting import assign_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        )
+    )

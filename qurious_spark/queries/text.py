@@ -283,6 +283,126 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# Chunking + PII redaction — the map-only prep passes a training pipeline
+# runs between filtering and packing. Both are pure JVM expression chains.
+# --------------------------------------------------------------------------- #
+
+# chunk_size=32, overlap=8 -> stride 24; starts are 1-based token offsets.
+_CHUNK_STARTS = f"range(1, greatest(len({_TOKS}) - 8, 1) + 1, 24)"
+
+
+@df_query(
+    "text_chunk_documents",
+    f"""
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+           md5(array_to_string(t[start : start + 31], ' ')) AS chunk_fp,
+           CAST(len(t[start : start + 31]) AS BIGINT) AS n_chunk_tokens
+    FROM (
+        SELECT doc_id, {_TOKS} AS t, unnest({_CHUNK_STARTS}) AS start
+        FROM documents
+    )
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py): 32-token
+    chunks with 8-token overlap; chunks are fingerprinted so the compare
+    stays compact."""
+    from qurious_spark.operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_size=32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", F.md5("chunk").alias("chunk_fp"), "n_chunk_tokens"
+    )
+
+
+def _pii_sql() -> str:
+    from qurious_spark.functions.redact import pii_count_sql, redact_pii_sql
+
+    # Deterministic PII injected from doc_id so the redactor has real work:
+    # the corpus itself is synthetic and PII-free.
+    salted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return f"""
+    SELECT doc_id,
+           {pii_count_sql(salted, "email")} AS n_emails,
+           {pii_count_sql(salted, "phone")} AS n_phones,
+           {pii_count_sql(salted, "ssn")} AS n_ssns,
+           md5({redact_pii_sql(salted)}) AS redacted_fp
+    FROM documents
+    """
+
+
+@df_query("text_pii_redact", _pii_sql())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/redact.py): detect + mask emails/phones/SSNs.
+    The testdata is PII-free, so deterministic PII derived from doc_id is
+    appended first; the oracle replicates the same derivation, so a
+    redactor that under- or over-masks hash-mismatches."""
+    from qurious_spark.functions.redact import pii_count, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_count(salted, "email").alias("n_emails"),
+        pii_count(salted, "phone").alias("n_phones"),
+        pii_count(salted, "ssn").alias("n_ssns"),
+        F.md5(redact_pii(salted)).alias("redacted_fp"),
+    )
+
+
+@df_query(
+    "text_length_filter",
+    f"""
+    WITH bounds AS (
+        SELECT ROUND(quantile_cont(n_chars, 0.05), 4) AS lo,
+               ROUND(quantile_cont(n_chars, 0.95), 4) AS hi
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents, bounds
+    WHERE n_chars >= bounds.lo AND n_chars <= bounds.hi
+    GROUP BY source
+    """,
+)
+def text_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band length filter: drop the shortest/longest 5% of
+    documents (truncation + boilerplate tails), report per-source survivor
+    stats. The exact percentile pair aggregates to ONE row that joins back
+    as a broadcast — no second scan ordering, no window; at 100 TB swap
+    ``percentile`` for ``approx_percentile`` (same plan shape)."""
+    docs = table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
 @df_query(
     "text_fuzzy_join",
     """

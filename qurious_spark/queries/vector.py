@@ -286,3 +286,51 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_subspaces=16, n_codes=16
     )
     return _ann_recall_invariant(spark, sf_dir, approx, min_found=4)
+
+
+_QUANT_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_QUANT_SCALE = f"list_max(list_transform({_QUANT_V}, x -> abs(x))) / 127.0"
+
+
+@df_query(
+    "embedding_quantize",
+    f"""
+    WITH q AS (
+        SELECT vec_id,
+               {_QUANT_V} AS v,
+               {_QUANT_SCALE} AS scale,
+               CASE WHEN {_QUANT_SCALE} = 0 THEN 1.0 ELSE {_QUANT_SCALE} END AS safe
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id, v, scale, safe,
+               list_transform(v, x -> CAST(round(x / safe) AS INT)) AS codes
+        FROM q
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_min(codes) AS INT) AS code_min,
+           CAST(list_max(codes) AS INT) AS code_max,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           ROUND(list_sum(list_transform(list_zip(codes, v),
+                 p -> (CAST(p[1] AS DOUBLE) * safe - p[2]) ** 2)) / len(v), 6) AS mse
+    FROM coded
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (operators/quantize.py): per-vector
+    scale, code range/sum and reconstruction MSE. Compacts the codes array
+    to scalar invariants so the hash compare stays small while still
+    pinning every code's value (sum + min + max over 64 dims)."""
+    from qurious_spark.operators.quantize import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.expr("aggregate(codes, 0L, (a, x) -> a + x)").alias("code_sum"),
+        F.round("mse", 6).alias("mse"),
+    )

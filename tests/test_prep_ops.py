@@ -1,0 +1,131 @@
+"""Training-data prep operators added round 4: chunking, PII redaction,
+deterministic splitting, prefix dedup, int8 quantization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurious_spark.operators.chunking import chunk_documents
+from qurious_spark.operators.dedup import prefix_dedup
+from qurious_spark.operators.quantize import quantize_int8
+from qurious_spark.operators.splitting import assign_split, split_assignment
+
+
+def test_chunking_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, chunk_size=32, overlap=8)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # stride 24: starts 1, 25, 49, 73 -> last window holds 100-72=28 tokens
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in rows] == [32, 32, 32, 28]
+    # consecutive chunks share exactly `overlap` tokens
+    c0, c1 = rows[0].chunk.split(" "), rows[1].chunk.split(" ")
+    assert c0[-8:] == c1[:8]
+    # full coverage: every token appears in some chunk
+    seen = {t for r in rows for t in r.chunk.split(" ")}
+    assert seen == set(text.split(" "))
+
+
+def test_chunking_short_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "x")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_size=32, overlap=8).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 2  # one chunk each, no explosion
+    assert by_id[1].n_chunk_tokens == 3 and by_id[2].n_chunk_tokens == 1
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    from qurious_spark.functions.redact import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@ex-ample.co.uk and bob@x.io, call +44-020-7946"),
+            (2, "ssn 123-45-6789 from 192.168.0.1"),
+            (3, "clean text, no pii at all"),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        "t",
+        redact_pii(F.col("t")).alias("r"),
+        pii_count(F.col("t"), "email").alias("ne"),
+        pii_count(F.col("t"), "phone").alias("np"),
+        pii_count(F.col("t"), "ssn").alias("ns"),
+        pii_count(F.col("t"), "ip").alias("ni"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].r == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert (by_id[1].ne, by_id[1].np) == (2, 1)
+    assert by_id[2].r == "ssn <SSN> from <IP>"
+    assert (by_id[2].ns, by_id[2].ni) == (1, 1)
+    assert by_id[3].r == by_id[3].t  # untouched when no PII present
+    assert (by_id[3].ne, by_id[3].np, by_id[3].ns, by_id[3].ni) == (0, 0, 0, 0)
+
+
+def test_split_deterministic_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = assign_split(df, "k").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # ~80/10/10 within quantization tolerance (256 buckets)
+    assert 0.70 < counts["train"] / 2000 < 0.90
+    # stable under repartitioning and re-evaluation
+    a = sorted(assign_split(df.repartition(7), "k").collect())
+    b = sorted(assign_split(df, "k").collect())
+    assert a == b
+
+
+def test_split_growth_does_not_move_existing_keys(spark):
+    small = assign_split(spark.range(100).withColumnRenamed("id", "k"), "k")
+    big = assign_split(spark.range(1000).withColumnRenamed("id", "k"), "k")
+    small_map = {r.k: r.split for r in small.collect()}
+    big_map = {r.k: r.split for r in big.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())
+
+
+def test_split_custom_weights_validate():
+    with pytest.raises(ValueError):
+        split_assignment(F.lit(1), {"a": 0.0, "b": 0.0})
+
+
+def test_prefix_dedup_groups_shared_openings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over one lazy dog"),
+            (2, "The  Quick Brown fox differs after the opening here"),
+            (3, "completely different text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = prefix_dedup(df, n_tokens=4).collect()
+    by_keeper = {r.doc_id: r.dup_count for r in rows}
+    assert by_keeper == {1: 2, 3: 1}  # 1+2 collapse (case/space-insensitive)
+
+
+def test_quantize_int8_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    r1 = rows[1]
+    assert abs(r1.scale - 1.0 / 127) < 1e-12
+    assert r1.codes == [127, -64, 32, 0]  # round(x / (1/127))
+    assert max(abs(c) for c in r1.codes) <= 127
+    assert r1.mse < (r1.scale / 2) ** 2  # error bounded by half-step
+    # zero vector: guarded scale, zero codes, zero error
+    r2 = rows[2]
+    assert r2.scale == 0.0 and r2.codes == [0, 0, 0, 0] and r2.mse == 0.0
