@@ -104,9 +104,13 @@ def load_all() -> None:
 # filter_null_kleene, projection_arith, intersect_keys — their §2 rows keep
 # their r03 hard-signal rows cumulatively) rotated out in favor of
 # never-driver-checked entries, growing the set of queries that have EVER
-# had a green driver row. Everything outside the prefix keeps registration
-# order and stays covered by the local oracle gate
-# (tools/check_correctness.py) + pytest.
+# had a green driver row. Seven more r03-green singletons
+# (dedup_ngram_jaccard, events_asof_join, text_lang_id,
+# embedding_cosine_pairs, pipeline_mix_corpora, agg_stats, distinct_pairs)
+# then rotated out for the round-4 prep operators — each family those seven
+# represent keeps either another in-window entry or its r03 green row.
+# Everything outside the prefix keeps registration order and stays covered
+# by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # flagship + DDL/DML/MERGE (§2.1 Ddl/Dml, §2.2 managed table)
     "tpch_q1",
@@ -146,33 +150,35 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.4 aggregates
     "agg_basic",
     "agg_distinct",
-    "agg_stats",
-    "distinct_pairs",
     "having_filter",
     "rollup_agg",
     # LLM-pipeline families (one per VERDICT table row)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_resolve",
-    "embedding_cosine_pairs",
     "ann_lsh_topk",
-    "text_lang_id",
     "multimodal_media_stats",
     "heavy_hitters_events",
     "sketch_bitmap_distinct",
     "sample_stratified_hash",
     "pipeline_pack_bins",
-    "pipeline_mix_corpora",
     "pipeline_training_data",
-    "events_asof_join",
     # rotated-in LLM-pipeline / operator entries never driver-checked before
     "events_funnel",
     "text_fuzzy_join",
     "range_join_binned",
     "pipeline_decontaminate",
     "multimodal_image_features",
+    # round-4 prep operators (chunking, PII, split, prefix dedup, int8
+    # quantization, retention, quantile filter) — first driver check
+    "text_chunk_documents",
+    "text_pii_redact",
+    "text_length_filter",
+    "pipeline_split_train",
+    "dedup_prefix",
+    "embedding_quantize",
+    "events_retention",
 )
 
 
