@@ -44,7 +44,10 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
-    toks: Column = tokens(F.col(text_col))
+    # NULL text behaves like an empty document (one empty chunk) instead of
+    # propagating NULL through size() (-1 under legacy sizeOfNull) and the
+    # window arithmetic
+    toks: Column = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     starts = F.sequence(
         F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)

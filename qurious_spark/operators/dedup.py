@@ -269,12 +269,12 @@ def minhash_lsh_candidates(
     ex = sig_df.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bk")).select(
         "id", "bk.*"
     )
-    from pyspark import StorageLevel
+    from qurious_spark.operators.caching import persist_rotating
 
     # both join sides read this narrow frame (LSH_BANDS rows/doc); persisting
     # computes the signature aggregation once and lets AQE broadcast the
     # build side when it is small
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = persist_rotating(ex, "minhash_band_frame")
     a = ex.withColumnRenamed("id", "id_a")
     b = ex.withColumnRenamed("id", "id_b")
     return (
@@ -302,11 +302,14 @@ def minhash_dedup_pairs(
     source at bench scale). MEMORY_AND_DISK spills rather than OOMs when the
     shingle frame outgrows executor memory at corpus scale.
     """
-    from pyspark import StorageLevel
+    from qurious_spark.operators.caching import persist_rotating
 
-    sh = spread(df).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_rotating(
+        spread(df).select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
+        ),
+        "minhash_shingle_frame",
+    )
     sig_df = _signatures_from_shingles(sh, "id").withColumnRenamed("id", id_col)
     cands = minhash_lsh_candidates(sig_df, id_col)
     a = sh.withColumnsRenamed({"id": "id_a", "shs": "shs_a"})
@@ -362,10 +365,10 @@ def simhash_near_pairs(
     (pigeonhole), so each self-join is an equi-join on a chunk value —
     no quadratic cross join at scale.
     """
-    from pyspark import StorageLevel
+    from qurious_spark.operators.caching import persist_rotating
 
-    fps = simhash_fingerprints(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    fps = persist_rotating(
+        simhash_fingerprints(df, text_col, id_col, k), "simhash_fps"
     )  # read by all 4 chunk joins
     chunks = 4
     width = 8

@@ -22,26 +22,27 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     columns. One scan regardless of column count."""
     dtypes = dict(df.dtypes)
     cols = list(cols or df.columns)
+    # positional (index-based) aliases: the source column name appears only
+    # as an escaped literal in stack(), never as an identifier, so names
+    # containing quotes/spaces/dots profile fine
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         is_num = dtypes[c] in _NUMERIC or dtypes[c].startswith("decimal")
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"__nulls_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"))
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"__nulls_{i}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{i}"))
         if is_num:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
-            aggs.append(F.avg(F.col(c)).cast("double").alias(f"__avg_{c}"))
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{i}"))
+            aggs.append(F.avg(F.col(c)).cast("double").alias(f"__avg_{i}"))
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.lit(None).cast("double").alias(f"__max_{c}"))
-            aggs.append(F.lit(None).cast("double").alias(f"__avg_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__min_{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__max_{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__avg_{i}"))
     one = df.agg(*aggs)
     stack_args = []
-    for c in cols:
-        # escape embedded quotes so a column name containing ' stays a
-        # valid SQL literal inside the stack() expression
+    for i, c in enumerate(cols):
         lit = c.replace("'", "''")
-        stack_args.append(f"'{lit}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}, __avg_{c}")
+        stack_args.append(f"'{lit}', __nulls_{i}, __nd_{i}, __min_{i}, __max_{i}, __avg_{i}")
     stacked = one.select(
         F.col("__n").alias("n_rows"),
         F.expr(

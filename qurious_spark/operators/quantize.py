@@ -25,8 +25,10 @@ def _absmax(vec: Column) -> Column:
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Add ``scale`` (double), ``codes`` (array<int> in [-127, 127]) and
-    ``mse`` (reconstruction mean squared error, double) per vector.
+    """Per-vector quantization result: ``id_col``, ``scale`` (double),
+    ``codes`` (array<int> in [-127, 127]) and ``mse`` (reconstruction mean
+    squared error, double). Other input columns are dropped — join back on
+    ``id_col`` to re-attach them.
 
     All-zero vectors get scale 0 and all-zero codes (division guarded).
     """

@@ -207,10 +207,11 @@ def ivf_assign(
             c.select(F.col(label_col).alias("bucket"), F.col(vec_col)), vec_col
         )
         return cent, c.withColumn("bucket", F.col(label_col))
-    from pyspark import StorageLevel
+    from qurious_spark.operators.caching import persist_rotating
 
-    cent = kmeans_centroids(c, n_clusters, id_col=id_col, vec_col=vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cent = persist_rotating(
+        kmeans_centroids(c, n_clusters, id_col=id_col, vec_col=vec_col),
+        "ivf_centroids",
     )  # read by the corpus assignment AND every query's probe ranking
     assigned = _assign_to_centroids(c, cent, id_col, vec_col)
     return cent, assigned

@@ -27,14 +27,17 @@ from pyspark.sql import functions as F
 def _thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """Cumulative byte thresholds: [(label, upper_hex_exclusive), ...] with
     the last label catching the remainder."""
-    total = sum(weights.values())
+    if any(w < 0 for w in weights.values()):
+        bad = [k for k, w in weights.items() if w < 0]
+        raise ValueError(f"negative weight for {bad[0]!r}")
+    # zero-weight labels get NO keys (not the ~1/256 remainder a naive
+    # cumulative loop would hand a zero-weight final label)
+    items = [(k, w) for k, w in weights.items() if w > 0]
+    total = sum(w for _, w in items)
     if total <= 0:
         raise ValueError("weights must sum to > 0")
     out, cum = [], 0.0
-    items = list(weights.items())
     for label, w in items[:-1]:
-        if w < 0:
-            raise ValueError(f"negative weight for {label!r}")
         cum += w / total
         out.append((label, format(min(int(cum * 256), 255), "02x")))
     out.append((items[-1][0], "zz"))  # remainder: above any 2-hex-char prefix

@@ -312,10 +312,14 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     exact = D.jaccard_pairs(docs, threshold=THRESH).select("id_a", "id_b")
     ml = D.minhash_lsh_ml(docs).select("id_a", "id_b")
-    found = exact.join(ml, ["id_a", "id_b"]).count()
-    total = exact.count()
-    return spark.createDataFrame(
-        [(total, found >= 0.8 * total)], "true_pairs bigint, recall_ok boolean"
+    # keep the whole computation one lazy plan (1-row aggregates crossed)
+    # so the plan audit sees the real MLlib + exact-verify joins instead of
+    # a pre-collected local relation
+    found = exact.join(ml, ["id_a", "id_b"]).agg(F.count("*").alias("__found"))
+    total = exact.agg(F.count("*").alias("__total"))
+    return total.crossJoin(found).select(
+        F.col("__total").cast("bigint").alias("true_pairs"),
+        (F.col("__found") >= 0.8 * F.col("__total")).alias("recall_ok"),
     )
 
 

@@ -293,9 +293,17 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cust = spark.table("customer")
+    # the pre-limit semi join must apply EVERY inner-join existence
+    # condition (customer exists AND its nation exists) — filtering nation
+    # only after the limit would drop rows the oracle replaces
+    cust_valid = cust.join(
+        spark.table("nation").select("n_nationkey"),
+        cust.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
     top = (
         rev.join(
-            cust.select("c_custkey"),
+            cust_valid.select("c_custkey"),
             rev.o_custkey == F.col("c_custkey"),
             "left_semi",
         )

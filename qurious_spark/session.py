@@ -322,6 +322,7 @@ class Session:
         # reference (information_schema.rs:12-46; SHOW TABLES is sugar over
         # it, session.rs:78-81) — materialize it as a temp view on demand so
         # arbitrary SELECTs against it work too.
+        info_view = None
         if re.search(r"\binformation_schema\s*\.\s*tables\b", rewritten, re.IGNORECASE):
             # substitute only OUTSIDE quoted spans — string literals ('..')
             # AND quoted identifiers (".." / `..`); the view name is
@@ -342,13 +343,20 @@ class Session:
             if replaced:
                 self._show_tables().createOrReplaceTempView(view)
                 rewritten = "".join(parts)
+                info_view = view
         rewritten = self._rewrite_time_travel(rewritten)
         m_hist = re.match(
             r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$", rewritten, re.IGNORECASE
         )
         if m_hist:
             return self._describe_history(m_hist.group(1))
-        return self.spark.sql(self._dequalify(rewritten))
+        df = self.spark.sql(self._dequalify(rewritten))
+        if info_view is not None:
+            # the returned plan resolved the view during analysis; dropping
+            # it immediately keeps the shared SparkSession catalog from
+            # accumulating one view per Session object
+            self.spark.catalog.dropTempView(info_view)
+        return df
 
     def _describe_history(self, name: str) -> DataFrame:
         """Delta-style DESCRIBE HISTORY: retained snapshot versions of a

@@ -129,3 +129,23 @@ def test_quantize_int8_roundtrip(spark):
     # zero vector: guarded scale, zero codes, zero error
     r2 = rows[2]
     assert r2.scale == 0.0 and r2.codes == [0, 0, 0, 0] and r2.mse == 0.0
+
+
+def test_split_zero_weight_label_gets_no_keys(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    rows = assign_split(df, "k", {"train": 1.0, "val": 0.0}).collect()
+    assert {r.split for r in rows} == {"train"}  # val declared empty, stays empty
+
+
+def test_split_negative_weight_rejected_anywhere():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_assignment(F.lit(1), {"a": 1.0, "b": -0.5})  # last-position negative
+
+
+def test_chunking_null_text_behaves_as_empty(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=32, overlap=8).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk == "" and rows[0].n_chunk_tokens == 1  # one empty token

@@ -21,3 +21,10 @@ def test_profile_stats_and_single_scan(spark):
     # one scan regardless of column count
     plan = profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_profile_handles_hostile_column_names(spark):
+    df = spark.createDataFrame([(1, 2.0)], ["a'b", "c d"])
+    rows = {r.col_name: r for r in profile(df).collect()}
+    assert set(rows) == {"a'b", "c d"}
+    assert rows["a'b"].n_nulls == 0 and rows["c d"].avg_v == 2.0

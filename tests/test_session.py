@@ -374,3 +374,15 @@ def test_information_schema_tables_queryable(fresh):
 def test_information_schema_in_string_literal_untouched(fresh):
     row = fresh.sql("SELECT 'see information_schema.tables' AS s").collect()[0]
     assert row.s == "see information_schema.tables"
+
+
+def test_information_schema_view_not_leaked(session):
+    df = session.sql("SELECT table_name FROM information_schema.tables ORDER BY 1")
+    rows = df.collect()  # plan resolved at analysis; view already dropped
+    assert rows is not None
+    leaked = [
+        v.name
+        for v in session.spark.catalog.listTables()
+        if v.name.startswith("q_information_schema_tables_")
+    ]
+    assert leaked == []

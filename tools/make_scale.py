@@ -53,6 +53,14 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     f, src, out = args.factor, args.src, args.out
+    # beyond 10 replicas the vowel-substitution cycle (and the 16-step
+    # embedding rotation) would wrap back to identity, silently
+    # reintroducing the cross-replica near-dups this script exists to avoid
+    if f > len(SUBS):
+        raise SystemExit(
+            f"--factor {f} > {len(SUBS)}: replica {len(SUBS)} would reuse the "
+            "identity substitution; extend SUBS before scaling further"
+        )
 
     # fixed dims: copy through unchanged
     for t in ("region", "nation"):
