@@ -392,18 +392,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen date, counted again on
-    each of the next 7 days they return. Two narrow aggregations keyed on
-    user_id (cohort + distinct active days) joined user-to-user — the join
-    keys are already co-partitioned from the aggregations, and the payload
-    is (user_id, date) pairs only, so the plan holds at 100 TB of events."""
+    each of the next 7 days they return. ONE aggregation keyed on user_id
+    computes the cohort date AND the distinct active-date set together
+    (collect_set is bounded: a user has at most horizon-many distinct dates,
+    ≤ 31 here — not an unbounded list), then explode + re-aggregate. Two
+    shuffles total (user_id, then the tiny (date, offset) key) instead of
+    the naive cohort/distinct/join plan's four."""
     ev = table(spark, sf_dir, "events")
-    cohort = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_date")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date"),
+        F.collect_set(F.to_date("ts")).alias("active_dates"),
     )
-    activity = ev.select("user_id", F.to_date("ts").alias("active_date")).distinct()
     off = F.datediff("active_date", "cohort_date")
     return (
-        cohort.join(activity, "user_id")
+        per_user.select(
+            "user_id", "cohort_date", F.explode("active_dates").alias("active_date")
+        )
         .filter((off >= 0) & (off <= 7))
         .groupBy("cohort_date", off.cast("bigint").alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("n_active"))
