@@ -155,3 +155,41 @@ sql_query(
     ORDER BY o_orderpriority
     """,
 )
+
+
+@df_query(
+    "heavy_hitters_ngrams",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS g
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents)
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM g
+    GROUP BY g
+    HAVING CAST(COUNT(*) AS DOUBLE)
+           >= CAST(0.0015 AS DOUBLE) * (SELECT COUNT(*) FROM g)
+    ORDER BY g
+    """,
+)
+def heavy_hitters_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 2-gram shingles appearing in an outsized share
+    of documents, found with the same two-pass exact heavy-hitters operator
+    as heavy_hitters_events — per-partition Misra-Gries candidates over the
+    exploded shingle stream (zero shuffle), exact recount of candidates
+    only. This is the corpus-scale shape: the shingle stream at 100 TB has
+    billions of distinct grams, and this plan never shuffles them all —
+    only candidate grams (bounded by capacity x partitions) are recounted.
+    Shingles are distinct-per-doc, so freq = document frequency."""
+    from qurious_spark.operators.dedup import shingles
+    from qurious_spark.operators.heavyhitters import heavy_hitters
+    from qurious_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(shingles(F.col("text"), 2)).alias("g"))
+    return heavy_hitters(grams, "g", 0.0015).orderBy("g")
