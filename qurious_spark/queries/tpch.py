@@ -45,11 +45,17 @@ sql_query(
 # Q2 — minimum-cost supplier (reference q2.slt). Adapted: no partsupp, so the
 # part-supplier link and "supply cost" come from lineitem unit prices; keeps
 # the correlated-scalar-subquery-over-MIN shape that Q2 exists to test.
+# unit_cost rounds via an integer scale (ROUND(x*10000)/10000) instead of
+# ROUND(x, 4): Spark's fractional ROUND rounds the double's shortest
+# DECIMAL string (BigDecimal.valueOf) while DuckDB rounds the BINARY value,
+# so quotients landing near a half-point in the 5th decimal diverge by 1
+# ulp of the 4th decimal (4/914 rows at sf0.1). Scaling first makes the
+# half-point exactly representable, where both engines round identically.
 sql_query(
     "tpch_q2",
     """
     SELECT p.p_partkey, p.p_name, s.s_name,
-           ROUND(l.l_extendedprice / l.l_quantity, 4) AS unit_cost
+           ROUND(l.l_extendedprice / l.l_quantity * 10000) / 10000 AS unit_cost
     FROM part p, lineitem l, supplier s
     WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
       AND p.p_type = 'PROMO' AND p.p_size < 15
