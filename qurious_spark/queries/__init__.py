@@ -14,6 +14,12 @@ Conventions (driver contract):
 - integer SUMs (plain, DISTINCT, or SUM over CASE) are cast to BIGINT on both
   sides — DuckDB widens integer SUM to HUGEINT (int128) while Spark stays
   BIGINT, and the driver's value-hash is representation-sensitive.
+- per-ROW fractional ROUND(x, n) on doubles is a half-point hazard: Spark
+  rounds the double's shortest decimal string (BigDecimal.valueOf), DuckDB
+  rounds the binary value, so a quotient near a half-point in digit n+1
+  can differ by 1 ulp of digit n (bit tpch_q2 at sf0.1). When a per-row
+  value can land near half-points, round via an integer scale instead:
+  ROUND(x * 10^n) / 10^n. Aggregates over many rows are far less exposed.
 """
 
 from __future__ import annotations
