@@ -165,7 +165,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_resolve",
     "ann_lsh_topk",
     "multimodal_media_stats",
-    "heavy_hitters_events",
+    # heavy-hitter family: the events variant is r03-green; the ngram
+    # (boilerplate) variant takes the in-window slot for a first check
+    "heavy_hitters_ngrams",
     "sketch_bitmap_distinct",
     "sample_stratified_hash",
     "pipeline_pack_bins",
