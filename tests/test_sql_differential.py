@@ -85,10 +85,49 @@ def _query(draw) -> str:
 )
 @given(sql=_query())
 def test_engine_matches_duckdb_on_random_queries(session, duck, sql):
-    engine_rows = sorted(
-        tuple(r) for r in session.sql(sql).collect()
-    )
-    duck_rows = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    nkey = lambda row: tuple((v is None, v) for v in row)
+    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
+    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
     # normalize int widths (DuckDB may return int32 vs Spark int64)
+    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+
+
+@st.composite
+def _join_query(draw) -> str:
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    pred = draw(_predicate())
+    n_pred = draw(st.sampled_from(["", " AND n.n_regionkey < 3", " AND n.n_regionkey >= 2"]))
+    sel = draw(
+        st.sampled_from(
+            [
+                "c.c_custkey, n.n_name",
+                "c.c_custkey, n.n_regionkey",
+                "n.n_name, COUNT(*) AS n_cust",
+            ]
+        )
+    )
+    group = " GROUP BY n.n_name" if sel.startswith("n.n_name, COUNT") else ""
+    order = ""
+    if not group and draw(st.booleans()):
+        k = draw(st.integers(1, 25))
+        order = f" ORDER BY c.c_custkey LIMIT {k}"  # unique key: deterministic
+    return (
+        f"SELECT {sel} FROM customer c {how} nation n"
+        f" ON c.c_nationkey = n.n_nationkey{n_pred}"
+        f" WHERE {pred}{group}{order}"
+    )
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_join_query())
+def test_engine_matches_duckdb_on_random_joins(session, duck, sql):
+    nkey = lambda row: tuple((v is None, v) for v in row)
+    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
+    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
     norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
     assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
