@@ -313,3 +313,38 @@ def pipeline_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(T.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
         )
     )
+
+
+def _shard_oracle(n_shards: int = 16) -> str:
+    # 8-hex-digit md5 prefix as an integer, digit-expanded the same way as
+    # _duck_md5int (DuckDB has no conv()); then mod n_shards
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+    SELECT CAST(({terms}) % {n_shards} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@df_query("pipeline_shard_counts", _shard_oracle())
+def pipeline_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable shard assignment (sources/sharding.py): md5-prefix
+    mod n_shards. Per-shard doc counts + id checksum pin every document's
+    shard; a drifted hash or mod moves ids between shards and breaks the
+    id_sum hash-match."""
+    from qurious_spark.sources.sharding import with_shard_id
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        with_shard_id(docs, "doc_id", 16)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
