@@ -490,7 +490,7 @@ def fold_interval_quantity(text: str) -> str:
 
 
 _READ_FN_RE = re.compile(
-    r"\b(read_csv|read_json|read_parquet)\s*\(\s*'([^']+)'\s*((?:,[^)]*)?)\)",
+    r"\b(read_csv|read_json|read_parquet|read_orc)\s*\(\s*'([^']+)'\s*((?:,[^)]*)?)\)",
     re.IGNORECASE,
 )
 
@@ -520,6 +520,8 @@ def rewrite_table_functions(session, text: str) -> str:
             )
         elif fn == "read_json":
             df = session.spark.read.json(path)
+        elif fn == "read_orc":
+            df = session.spark.read.orc(path)
         else:
             df = session.spark.read.parquet(path)
         df.createOrReplaceTempView(view)

@@ -58,6 +58,7 @@ ALLOW_PYTHON = {
     "dedup_minhash_ml",
     "udf_vectorized",  # the pandas_udf surface itself — Arrow-batched by design
     "heavy_hitters_events",  # Misra-Gries candidate pass is mapInPandas by design
+    "heavy_hitters_ngrams",  # same Misra-Gries mapInPandas candidate pass
     "udaf_grouped_agg",  # the grouped-agg pandas UDF surface itself
 }
 

@@ -412,3 +412,61 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", off.cast("bigint").alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@df_query(
+    "events_gapfill",
+    # Oracle replicates the gapfill shape natively: bucket aggregation,
+    # per-key spine via range()+UNNEST, LEFT JOIN, LAST_VALUE IGNORE NULLS.
+    # v_sum is rounded BEFORE the fill on both sides so a carried-forward
+    # value is the identical rounded double in both engines.
+    """
+    WITH b AS (
+        SELECT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+               ROUND(SUM(value), 4) AS v_sum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1),
+    spine AS (SELECT event_type, UNNEST(range(mn, mx + 3600, 3600)) AS bucket FROM r)
+    SELECT s.event_type, s.bucket,
+           b.n IS NOT NULL AS observed,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+           LAST_VALUE(b.v_sum IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM spine s LEFT JOIN b ON b.event_type = s.event_type AND b.bucket = s.bucket
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style ``time_bucket_gapfill`` + ``locf``: hourly buckets
+    per event_type with every empty bucket materialized, the hourly sum
+    forward-filled and the count zero-filled (operators/timeseries.py).
+    The spine is generated distributed (sequence+explode per key row), the
+    fill is a key-partitioned running window — no driver-side calendar, no
+    unpartitioned window. The reference has no time-series surface
+    (SURVEY §1.1: batch relational only); this is pipeline-extension
+    territory."""
+    from qurious_spark.operators.timeseries import resample
+
+    ev = table(spark, sf_dir, "events")
+    rs = resample(
+        ev,
+        ts_col="ts",
+        step_seconds=3600,
+        keys=["event_type"],
+        aggs=[
+            ("v_sum", F.round(F.sum("value"), 4)),
+            ("n", F.count("*").cast("bigint")),
+        ],
+        fill="ffill",
+        fill_cols=["v_sum"],
+    )
+    return rs.select(
+        "event_type",
+        "bucket",
+        F.col("n").isNotNull().alias("observed"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("v_sum").alias("v_filled"),
+    )

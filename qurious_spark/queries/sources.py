@@ -161,3 +161,25 @@ def source_uint_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(u32 AS BIGINT) AS u32",
         "CAST(u64 AS DECIMAL(20,0)) AS u64",
     )
+
+
+@df_query("source_orc_roundtrip", _NATION_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO (FORMAT ORC) + ``read_orc('dir')`` table function: ORC
+    write/read parity via Spark's built-in ORC source. The reference's file
+    surface is csv/json/parquet only (qurious/src/datasource/file/); ORC is
+    an extension — same columnar, predicate-pushdown-capable scan path as
+    parquet, so it slots into the identical reader audit."""
+    s = _session(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="qurious_src_orc_"), "nation_orc")
+    s.sql("DROP TABLE IF EXISTS src_orc_t")
+    s.sql("CREATE TABLE src_orc_t AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    s.sql(f"COPY src_orc_t TO '{out}' (FORMAT ORC)")
+    return s.sql(
+        f"""
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+               n_name AS name,
+               CAST(n_regionkey AS BIGINT) AS rk
+        FROM read_orc('{out}')
+        """
+    )

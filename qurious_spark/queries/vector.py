@@ -334,3 +334,47 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(codes, 0L, (a, x) -> a + x)").alias("code_sum"),
         F.round("mse", 6).alias("mse"),
     )
+
+
+SEMDEDUP_K, SEMDEDUP_THRESH = 16, 0.40
+
+
+@df_query(
+    "embedding_semdedup",
+    # Exactly-replicable configuration (iters=0): clusters are the 16
+    # lowest-id seed vectors, assignment is argmax of ROUND(cos, 6) with
+    # ties to the lowest bucket, and a vector is dropped iff a lower-id
+    # same-cluster neighbor has ROUND(cos, 6) >= 0.4. Drops 11 of 500
+    # vectors at sf0.01 — non-vacuous. Lloyd-refined clustering (iters>0,
+    # engine-specific float averages) is covered by tests/test_clustering.py
+    # invariants instead.
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS bucket, v AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {{k}})),
+    scored AS (SELECT e.vec_id, s.bucket, ROUND({_cos('e.v', 's.cv')}, 6) AS sim
+               FROM e, seeds s),
+    asg AS (SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bucket) AS rn
+        FROM scored) WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE ROUND({_cos('ea.v', 'eb.v')}, 6) >= {{t}})
+    SELECT vec_id, bucket FROM asg WHERE vec_id NOT IN (SELECT DISTINCT ib FROM pairs)
+    """.format(k=SEMDEDUP_K, t=SEMDEDUP_THRESH),
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) semantic near-duplicate removal: cluster
+    the embeddings, pairwise cosine only WITHIN clusters, keep the lowest-id
+    representative of every >=0.4 pair (operators/clustering.py). The
+    cluster step bounds the quadratic pair term — the 100 TB path scales k
+    with corpus size so per-cluster work stays flat."""
+    from qurious_spark.operators.clustering import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_clusters=SEMDEDUP_K, threshold=SEMDEDUP_THRESH, iters=0
+    )

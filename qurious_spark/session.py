@@ -478,6 +478,8 @@ class Session:
                 writer.csv(stmt.path)
             elif fmt == "json":
                 writer.json(stmt.path)
+            elif fmt == "orc":
+                writer.orc(stmt.path)
             else:
                 writer.parquet(stmt.path)
             return self._count_df(df.count())
