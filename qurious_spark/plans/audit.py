@@ -49,6 +49,10 @@ ALLOW_NON_EQUI = {
     # Same 1-row broadcast-scalar shape as tpch_q11: the P05/P95 bounds
     # aggregate to exactly one row that joins back as a broadcast filter.
     "text_length_filter",
+    # Nearest-centroid assignment crossJoins every vector against the
+    # broadcast k-row centroid table (k≈16) — O(n·k), the standard k-means
+    # scoring shape; the within-cluster pair join is a plain equi-join.
+    "embedding_semdedup",
 }
 
 # Queries whose Python stages are the point (stubbed decode, MLlib UDFs).

@@ -125,18 +125,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.2 sources: CSV + COPY TO + read_csv fn / NDJSON / COPY FROM .tbl,
     # uint-typed parquet, information_schema catalog
     "source_csv_roundtrip",
-    "source_ndjson_roundtrip",
     "source_copy_tbl",
     "source_uint_parquet",
+    "source_orc_roundtrip",
     "catalog_information_schema",
     # §2.5 windows, set ops, CTE, streaming, UDF. (The SubqueryAlias row is
     # evidenced by cte_query: the reference plans CTEs as SubqueryAlias
     # nodes — SURVEY §3.1 — so the single-purpose subquery_alias query can
     # live outside the window.)
-    "window_running_sum",
     "window_rank_dense",
     "cte_query",
-    "events_stream_tumbling",
     "events_stream_sliding",
     "events_stream_session",
     "udf_vectorized",
@@ -178,6 +176,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_binned",
     "pipeline_decontaminate",
     "multimodal_image_features",
+    # round-5 rotation: time-series gapfill + semantic dedup take the slots
+    # of three r03-green singletons whose families keep in-window reps
+    # (ndjson->csv/copy/uint/orc, running_sum->rank_dense,
+    # stream_tumbling->stream_sliding/session)
+    "events_gapfill",
+    "embedding_semdedup",
     # round-4 prep operators (chunking, PII, split, prefix dedup, int8
     # quantization, retention, quantile filter) — first driver check
     "text_chunk_documents",

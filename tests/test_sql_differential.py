@@ -3,7 +3,7 @@ BOTH the engine (Session.sql → Spark) and DuckDB, results compared as
 multisets.
 
 This is the property-based complement to the fixed oracle registry: instead
-of 168 handpicked queries, hypothesis composes arbitrary WHERE/SELECT trees
+of the ~170 handpicked registry queries, hypothesis composes arbitrary WHERE/SELECT trees
 from a grammar subset chosen to be engine-neutral (integer arithmetic,
 Kleene logic, IN/BETWEEN/CASE/IS NULL — no fractional rounding, no float
 aggregation, no engine-specific functions), so ANY mismatch is a real
@@ -126,6 +126,94 @@ def _join_query(draw) -> str:
 )
 @given(sql=_join_query())
 def test_engine_matches_duckdb_on_random_joins(session, duck, sql):
+    nkey = lambda row: tuple((v is None, v) for v in row)
+    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
+    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
+    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+
+
+@st.composite
+def _agg_query(draw) -> str:
+    """Random GROUP BY + aggregate + HAVING trees (integer-only algebra)."""
+    pred = draw(_predicate())
+    m = draw(st.integers(2, 9))
+    keys = draw(
+        st.sampled_from(
+            [
+                f"(c_custkey % {m})",
+                "c_nationkey",
+                f"c_nationkey, (c_custkey % {m})",
+            ]
+        )
+    )
+    aggs = draw(
+        st.sampled_from(
+            [
+                "COUNT(*) AS n",
+                "COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s",
+                "CAST(MIN(c_custkey) AS BIGINT) AS mn, CAST(MAX(c_custkey) AS BIGINT) AS mx",
+                f"COUNT(DISTINCT c_custkey % {m}) AS d",
+                "COUNT(*) AS n, CAST(SUM(c_custkey + c_nationkey) AS BIGINT) AS s",
+            ]
+        )
+    )
+    having = ""
+    if draw(st.booleans()):
+        having = f" HAVING COUNT(*) > {draw(st.integers(0, 5))}"
+    return f"SELECT {keys}, {aggs} FROM customer WHERE {pred} GROUP BY {keys}{having}"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_agg_query())
+def test_engine_matches_duckdb_on_random_aggregates(session, duck, sql):
+    nkey = lambda row: tuple((v is None, v) for v in row)
+    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
+    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
+    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+
+
+@st.composite
+def _setop_or_window_query(draw) -> str:
+    """UNION/INTERSECT/EXCEPT between random predicates, or deterministic
+    window aggregates (partition SUM, tie-sharing RANK — no row_number,
+    whose tie order is engine-defined)."""
+    if draw(st.booleans()):
+        p1, p2 = draw(_predicate()), draw(_predicate())
+        op = draw(
+            st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        )
+        return (
+            f"SELECT c_custkey, c_nationkey FROM customer WHERE {p1}"
+            f" {op} SELECT c_custkey, c_nationkey FROM customer WHERE {p2}"
+        )
+    pred = draw(_predicate())
+    m = draw(st.integers(2, 9))
+    win = draw(
+        st.sampled_from(
+            [
+                "CAST(SUM(c_custkey) OVER (PARTITION BY c_nationkey) AS BIGINT) AS ws",
+                f"CAST(RANK() OVER (ORDER BY (c_custkey % {m})) AS BIGINT) AS r",
+                f"CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY (c_custkey % {m})) AS BIGINT) AS dr",
+                "CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS cnt",
+            ]
+        )
+    )
+    return f"SELECT c_custkey, {win} FROM customer WHERE {pred}"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_setop_or_window_query())
+def test_engine_matches_duckdb_on_setops_and_windows(session, duck, sql):
     nkey = lambda row: tuple((v is None, v) for v in row)
     engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
     duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
