@@ -219,3 +219,71 @@ def test_engine_matches_duckdb_on_setops_and_windows(session, duck, sql):
     duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
     norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
     assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+
+
+# string-typed columns + engine-neutral string algebra (no negative SUBSTR
+# starts, no engine-specific functions — any mismatch is a real bug)
+_STR_COLS = ["c_name", "c_mktsegment"]
+
+
+def _str_expr(draw, depth: int = 0) -> str:
+    choice = draw(st.integers(0, 6 if depth < 2 else 4))
+    if choice <= 1:
+        return draw(st.sampled_from(_STR_COLS))
+    if choice == 2:
+        return f"'{draw(st.sampled_from(['x', 'Customer', 'AUTO', '#12', '']))}'"
+    if choice == 3:
+        inner = _str_expr(draw, depth + 1)
+        fn = draw(st.sampled_from(["UPPER", "LOWER", "TRIM", "REVERSE"]))
+        return f"{fn}({inner})"
+    if choice == 4:
+        inner = _str_expr(draw, depth + 1)
+        i = draw(st.integers(1, 12))
+        n = draw(st.integers(0, 10))
+        return f"SUBSTR({inner}, {i}, {n})"
+    if choice == 5:
+        a, b = _str_expr(draw, depth + 1), _str_expr(draw, depth + 1)
+        return f"({a} || {b})"
+    a = _str_expr(draw, depth + 1)
+    old = draw(st.sampled_from(["e", "Customer", "0", " "]))
+    new = draw(st.sampled_from(["", "_", "XY"]))
+    return f"REPLACE({a}, '{old}', '{new}')"
+
+
+@st.composite
+def _string_query(draw) -> str:
+    e1 = _str_expr(draw)
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        pat = draw(st.sampled_from(["%1%", "Customer%", "%e_", "%#%", "_ustomer%"]))
+        neg = "NOT " if draw(st.booleans()) else ""
+        pred = f"{e1} {neg}LIKE '{pat}'"
+    elif kind == 1:
+        pred = f"LENGTH({e1}) {draw(st.sampled_from(['<', '=', '>']))} {draw(st.integers(0, 25))}"
+    else:
+        e2 = _str_expr(draw)
+        pred = f"{e1} {draw(st.sampled_from(['<', '=', '>=']))} {e2}"
+    sel = draw(
+        st.sampled_from(
+            [
+                f"c_custkey, {_str_expr(draw)} AS s",
+                f"c_custkey, CAST(LENGTH({_str_expr(draw)}) AS BIGINT) AS l",
+                "c_custkey, UPPER(c_mktsegment) AS u",
+            ]
+        )
+    )
+    return f"SELECT {sel} FROM customer WHERE {pred}"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_string_query())
+def test_engine_matches_duckdb_on_string_functions(session, duck, sql):
+    nkey = lambda row: tuple((v is None, v) for v in row)
+    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
+    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
+    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"

@@ -99,3 +99,65 @@ def test_bad_args_rejected(spark):
         resample(df, "ts", 0, ["k"], _aggs())
     with pytest.raises(ValueError):
         resample(df, "ts", 60, ["k"], _aggs(), fill="bogus")
+
+
+# --- property test: resample vs an independent pandas reference ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _obs(draw):
+    """Random small multi-key series: (key, minute offset, value)."""
+    n = draw(st.integers(1, 12))
+    return [
+        (
+            draw(st.sampled_from(["a", "b"])),
+            draw(st.integers(0, 30)),
+            float(draw(st.integers(-5, 50))),
+        )
+        for _ in range(n)
+    ]
+
+
+def _pandas_reference(obs, step=60):
+    """Straight-line pandas implementation of the same spec."""
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1).timestamp()
+    df = pd.DataFrame(obs, columns=["k", "m", "v"])
+    df["bucket"] = ((base + df["m"] * 60) // step * step).astype("int64")
+    agg = df.groupby(["k", "bucket"])["v"].sum()
+    out = {}
+    for k, grp in agg.groupby(level=0):
+        buckets = grp.index.get_level_values(1)
+        full = range(int(buckets.min()), int(buckets.max()) + step, step)
+        series = grp.droplevel(0).reindex(full).ffill()
+        for b, v in series.items():
+            out[(k, int(b))] = v
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(obs=_obs())
+def test_resample_ffill_matches_pandas(spark, obs):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(k=k, ts=base + dt.timedelta(minutes=m), v=v) for k, m, v in obs
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["bucket"]): r["v_sum"]
+        for r in resample(
+            df, "ts", 60, ["k"], [("v_sum", F.sum("v"))], fill="ffill"
+        ).collect()
+    }
+    want = _pandas_reference(obs)
+    assert got.keys() == want.keys()
+    for key in want:
+        assert got[key] == pytest.approx(want[key]), key
