@@ -73,6 +73,12 @@ def resample(
     """
     if fill not in FILLS:
         raise ValueError(f"fill must be one of {FILLS}, got {fill!r}")
+    if not keys:
+        # a key-less series would need an UNPARTITIONED fill window — every
+        # bucket through one task, the classic scale-killer. Callers with a
+        # genuinely global series should pass a constant key column and
+        # accept that the series itself is single-task by nature.
+        raise ValueError("resample requires at least one key column")
     step = int(step_seconds)
     targets = list(fill_cols) if fill_cols is not None else [n for n, _ in aggs]
     keys = list(keys)

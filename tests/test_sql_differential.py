@@ -287,3 +287,59 @@ def test_engine_matches_duckdb_on_string_functions(session, duck, sql):
     duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
     norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
     assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+
+
+@st.composite
+def _datetime_query(draw) -> str:
+    """Temporal algebra over orders.o_orderdate (timestamp, 1995-2001):
+    EXTRACT, date_trunc, interval arithmetic, date-literal comparisons —
+    the surface the dialect shim's interval folding touches."""
+    y = draw(st.integers(1995, 2001))
+    m = draw(st.integers(1, 12))
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        pred = f"o_orderdate < DATE '{y}-{m:02d}-15'"
+    elif kind == 1:
+        pred = f"CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) = {y}"
+    elif kind == 2:
+        y2 = min(2001, y + draw(st.integers(0, 2)))
+        pred = f"o_orderdate BETWEEN DATE '{y}-01-01' AND DATE '{y2}-{m:02d}-28'"
+    else:
+        pred = f"CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) IN ({m}, {min(12, m + 1)})"
+    unit = draw(st.sampled_from(["DAY", "HOUR", "MONTH"]))
+    n = draw(st.integers(1, 90 if unit != "MONTH" else 11))
+    sel = draw(
+        st.sampled_from(
+            [
+                "o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,"
+                " CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,"
+                " CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS d",
+                # CAST both engines to DATE: DuckDB's date_trunc('month')
+                # yields DATE, Spark's yields TIMESTAMP — representation
+                # difference, not semantics
+                "o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart",
+                f"o_orderkey, o_orderdate + INTERVAL '{n}' {unit} AS shifted",
+                "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, COUNT(*) AS cnt",
+            ]
+        )
+    )
+    group = ""
+    if sel.endswith("COUNT(*) AS cnt"):
+        group = " GROUP BY EXTRACT(YEAR FROM o_orderdate)"
+    return f"SELECT {sel} FROM orders WHERE {pred}{group}"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_datetime_query())
+def test_engine_matches_duckdb_on_datetime_functions(session, duck, sql):
+    nkey = lambda row: tuple((str(v) if v is not None else "", v is None) for v in row)
+    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
+    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
+    norm = lambda rows: [
+        tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
+    ]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
