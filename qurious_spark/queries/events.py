@@ -470,3 +470,48 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.col("v_sum").alias("v_filled"),
     )
+
+
+@df_query(
+    "events_stream_gapfill",
+    # Same spine/fill oracle as events_gapfill, minus the count column (the
+    # LOCF stream emits sums only); the streamed per-bucket sums are rounded
+    # to 4 at emission, matching ROUND(SUM, 4) here.
+    """
+    WITH b AS (
+        SELECT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+               ROUND(SUM(value), 4) AS v_sum
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1),
+    spine AS (SELECT event_type, UNNEST(range(mn, mx + 3600, 3600)) AS bucket FROM r)
+    SELECT s.event_type AS key, s.bucket,
+           b.v_sum IS NOT NULL AS observed,
+           LAST_VALUE(b.v_sum IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM spine s LEFT JOIN b ON b.event_type = s.event_type AND b.bucket = s.bucket
+    """,
+)
+def events_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (streaming/gapfill.py
+    ``locf_stream``, applyInPandasWithState) ON the hard signal: drain the
+    staged event stream with availableNow, keep the latest versioned
+    emission per (key, bucket), and hash-compare the filled series against
+    the batch gapfill oracle — exact on a bounded source."""
+    from pyspark.sql import Window
+
+    from qurious_spark.streaming import locf_stream, run_to_memory
+
+    stream = _staged_events_stream(spark, sf_dir)
+    name = f"q_stream_gapfill_{next(_STREAM_RUNS)}"
+    out = run_to_memory(
+        locf_stream(stream, step_seconds=3600), name, output_mode="update"
+    )
+    w = Window.partitionBy("key", "bucket").orderBy(F.desc("version"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "bucket", "observed", "v_filled")
+    )

@@ -1,0 +1,131 @@
+"""Streaming gapfill/LOCF: the streaming face of operators/timeseries.py.
+
+A TimescaleDB-style ``time_bucket_gapfill + locf`` as a custom stateful
+streaming operator (``applyInPandasWithState``): per key, the state holds
+the observed bucket→sum map over a bounded retention horizon; each
+micro-batch merges its events in and re-emits the filled series in update
+mode. Re-emission is idempotent and versioned, so the operator is correct
+under ANY micro-batch split of the input — including files arriving out of
+event-time order — as long as late data is younger than the retention
+horizon (the watermark analogue; older events are dropped exactly like a
+watermarked aggregation would drop them).
+
+Scale shape: state is per-key and bounded (``max_buckets`` entries), keys
+are hash-partitioned across executors by the groupBy, and the Python
+function is Arrow-batched. The per-batch emission is O(series length) per
+key — production would emit only the changed suffix; the full re-emit keeps
+the operator's contract trivially checkable against the batch
+``resample(..., fill="ffill")`` oracle (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("bucket", LongType()),
+        StructField("v_filled", DoubleType()),
+        StructField("observed", BooleanType()),
+        StructField("version", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType())),
+        StructField("sums", ArrayType(DoubleType())),
+        StructField("version", LongType()),
+        # buckets below this were evicted; late data under it is dropped
+        # (None until the first eviction — nothing is dropped before that)
+        StructField("evicted_below", LongType()),
+    ]
+)
+
+
+def _epoch_seconds(ts: pd.Series) -> pd.Series:
+    """Dtype-agnostic (ns/us, tz-naive) timestamp → epoch seconds."""
+    return (pd.to_datetime(ts) - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+
+
+def locf_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    max_buckets: int = 1024,
+) -> DataFrame:
+    """Per-key bucketed sums with gap buckets carried forward (LOCF),
+    emitted in update mode. Output: (key, bucket, v_filled, observed,
+    version) — ``version`` increments per state update so a sink can keep
+    the latest emission per (key, bucket)."""
+    step = int(step_seconds)
+    if step <= 0:
+        raise ValueError("step_seconds must be positive")
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            buckets, sums, version, evicted_below = state.get
+            m = dict(zip(buckets, sums))
+        else:
+            m, version, evicted_below = {}, 0, None
+        for pdf in pdfs:
+            bk = _epoch_seconds(pdf[ts_col]) // step * step
+            for b, v in pdf[value_col].groupby(bk).sum().items():
+                b = int(b)
+                if evicted_below is not None and b < evicted_below:
+                    continue  # older than the eviction horizon: watermark-drop
+                m[b] = m.get(b, 0.0) + float(v)
+        if not m:
+            return
+        if len(m) > max_buckets:  # evict oldest observed buckets
+            for b in sorted(m)[: len(m) - max_buckets]:
+                del m[b]
+            evicted_below = min(m)
+        version += 1
+        bs = sorted(m)
+        state.update((bs, [m[b] for b in bs], version, evicted_below))
+        out_b, out_v, out_obs = [], [], []
+        last = None
+        for b in range(bs[0], bs[-1] + step, step):
+            if b in m:
+                last = m[b]
+                out_obs.append(True)
+            else:
+                out_obs.append(False)
+            out_b.append(b)
+            out_v.append(round(last, 4))
+        yield pd.DataFrame(
+            {
+                "key": k,
+                "bucket": out_b,
+                "v_filled": out_v,
+                "observed": out_obs,
+                "version": version,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -257,3 +257,115 @@ def test_incremental_merge_rollup(spark, events_dir, tmp_path):
     # double sums may differ in last ulp across different addition orders
     assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
     s.sql("DROP TABLE ev_rollup")
+
+
+def test_locf_stream_matches_batch_resample(spark, events_stream):
+    """Single availableNow drain: latest emission per (key, bucket) must
+    equal the batch resample(ffill) series."""
+    from qurious_spark.operators.timeseries import resample
+    from qurious_spark.sources.readers import read_parquet
+    from qurious_spark.streaming import locf_stream, run_to_memory
+
+    got_rows = run_to_memory(
+        locf_stream(events_stream, step_seconds=3600),
+        "t_locf",
+        output_mode="update",
+    ).collect()
+    latest = {}
+    for r in got_rows:
+        cur = latest.get((r.key, r.bucket))
+        if cur is None or r.version > cur[1]:
+            latest[(r.key, r.bucket)] = ((r.v_filled, r.observed), r.version)
+    batch = resample(
+        read_parquet(spark, EVENTS_PATH),
+        ts_col="ts",
+        step_seconds=3600,
+        keys=["event_type"],
+        aggs=[
+            (
+                "v_sum",
+                F.sum("value"),
+            ),
+            ("n", F.count("*")),
+        ],
+        fill="ffill",
+        fill_cols=["v_sum"],
+    ).collect()
+    want = {
+        (r.event_type, r.bucket): (r.v_sum, r.n is not None) for r in batch
+    }
+    assert set(latest) == set(want)
+    for k, ((v, obs), _ver) in latest.items():
+        wv, wobs = want[k]
+        assert obs == wobs, k
+        assert v == pytest.approx(round(wv, 4), abs=1e-3), k
+
+
+def test_locf_stream_multibatch_out_of_order_files(spark, events_dir):
+    """One file per micro-batch, in whatever order the source lists them:
+    the versioned re-emission must converge to the same filled series as a
+    single-batch drain (late buckets stay mergeable — nothing evicted at
+    this scale)."""
+    from qurious_spark.streaming import locf_stream, read_events_stream
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        locf_stream(stream, step_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("t_locf_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_locf_mb").collect()
+    assert max(r.version for r in rows) > 1, "expected multiple micro-batches"
+    latest = {}
+    for r in rows:
+        cur = latest.get((r.key, r.bucket))
+        if cur is None or r.version > cur[1]:
+            latest[(r.key, r.bucket)] = ((r.v_filled, r.observed), r.version)
+    single = {}
+    from qurious_spark.streaming import read_events_stream as rd
+    from qurious_spark.streaming import run_to_memory
+
+    one = run_to_memory(
+        locf_stream(rd(spark, events_dir), step_seconds=3600),
+        "t_locf_single",
+        output_mode="update",
+    ).collect()
+    for r in one:
+        single[(r.key, r.bucket)] = (r.v_filled, r.observed)
+    assert set(latest) == set(single)
+    for k, ((v, obs), _ver) in latest.items():
+        sv, sobs = single[k]
+        assert obs == sobs, k
+        assert v == pytest.approx(sv, abs=1e-3), k
+
+
+def test_locf_stream_eviction_bounds_state(spark, events_dir):
+    """With a small max_buckets the retained series is clipped to the newest
+    buckets and late data below the eviction horizon stays dropped."""
+    from qurious_spark.streaming import locf_stream, read_events_stream, run_to_memory
+
+    rows = run_to_memory(
+        locf_stream(read_events_stream(spark, events_dir), step_seconds=3600, max_buckets=24),
+        "t_locf_evict",
+        output_mode="update",
+    ).collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get((r.key, r.bucket))
+        if cur is None or r.version > cur[1]:
+            latest[(r.key, r.bucket)] = (r, r.version)
+    per_key = {}
+    for (k, b), _ in latest.items():
+        per_key.setdefault(k, []).append(b)
+    for k, buckets in per_key.items():
+        observed = [
+            b for b in buckets if latest[(k, b)][0].observed
+        ]
+        assert len(observed) <= 24, (k, len(observed))
+        # the clipped series must be the NEWEST buckets: its span ends at the
+        # key's true max bucket (events run to end of January)
+        assert max(buckets) >= 1706340000, k
