@@ -739,3 +739,39 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE; beyond the reference, whose planner
+# has no recursion — qurious/src/planner/sql.rs plans CTEs as plain
+# SubqueryAlias). A recursive month spine left-joined to per-month order
+# counts: materializes empty months, the relational cousin of the
+# time-series gapfill spine.
+sql_query(
+    "recursive_cte_months",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      WHERE m < CAST('2001-07-01' AS DATE)
+    ),
+    o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n
+          FROM orders GROUP BY 1)
+    SELECT months.m AS month_start, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN o ON months.m = o.m
+    """,
+    duck_sql="""
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < CAST('2001-07-01' AS DATE)
+    ),
+    o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n
+          FROM orders GROUP BY 1)
+    SELECT months.m AS month_start, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN o ON months.m = o.m
+    """,
+)
