@@ -36,9 +36,15 @@ _registered_views: dict[int, str] = {}
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the testdata tables as temp views once per (session, sf_dir)."""
+    """Register the testdata tables as temp views once per (session, sf_dir).
+
+    The cache is validated against the live catalog (sentinel: ``lineitem``)
+    because other components may legitimately clear the temp-view namespace
+    in the shared JVM — the slt runner drops all temp views before each file
+    to honor the reference's clean-catalog SHOW TABLES semantics
+    (testing/slt.py run_slt_file)."""
     key = id(spark)
-    if _registered_views.get(key) == sf_dir:
+    if _registered_views.get(key) == sf_dir and spark.catalog.tableExists("lineitem"):
         return
     from qurious_spark.sources.readers import load_tables
 

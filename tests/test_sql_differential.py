@@ -12,10 +12,20 @@ planner/semantics bug, not a representation difference.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _testdata_views(spark):
+    """Re-register the testdata temp views: earlier suite members (the slt
+    runner) legitimately clear the temp-view namespace in the shared JVM."""
+    from qurious_spark.sources import load_tables
+
+    load_tables(spark, SF)
 
 # integer-typed columns of the customer table (engine-neutral arithmetic)
 _INT_COLS = ["c_custkey", "c_nationkey"]
