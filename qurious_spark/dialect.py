@@ -244,6 +244,49 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
     m = _UPDATE_PREFIX_RE.match(text)
     if m:
         body = m.group(2)
+        # UPDATE t SET ... FROM src WHERE join_cond  (Postgres/DuckDB form):
+        # desugar to MERGE with a single WHEN MATCHED UPDATE arm — identical
+        # semantics including the error on a target row matching multiple
+        # source rows (DuckDB raises there too; Postgres picks arbitrarily,
+        # which a deterministic engine must not).
+        from_i = _find_top_level_keyword(body, "FROM")
+        if from_i >= 0:
+            set_part = body[:from_i].rstrip()
+            after = body[from_i + len("FROM") :]
+            wsplit = _find_top_level_keyword(after, "WHERE")
+            source_part, on_cond = (
+                (after[:wsplit].strip(), after[wsplit + len("WHERE") :].strip().rstrip(";"))
+                if wsplit >= 0
+                else (after.strip().rstrip(";"), "TRUE")
+            )
+            assignments = {}
+            for part in _split_top_level_commas(set_part):
+                k, _, v = part.partition("=")
+                assignments[k.strip()] = v.strip()
+            src_is_query = source_part.startswith("(")
+            if src_is_query:
+                close = source_part.rfind(")")
+                src_text = source_part[1:close]
+                src_alias = source_part[close + 1 :].strip().removeprefix("AS ").strip() or None
+            else:
+                toks = source_part.split()
+                src_text = toks[0]
+                rest = [t for t in toks[1:] if t.upper() != "AS"]
+                src_alias = rest[0] if rest else None
+            return DdlDmlStatement(
+                kind="merge",
+                table=m.group(1),
+                alias=m.group(1),  # target referenced by its own name
+                source=src_text,
+                source_is_query=src_is_query,
+                source_alias=src_alias or src_text,
+                on_cond=on_cond,
+                clauses=[
+                    MergeClause(
+                        matched=True, cond=None, action="update", assignments=assignments
+                    )
+                ],
+            )
         split = _find_top_level_keyword(body, "WHERE")
         set_part, predicate = (
             (body[:split].rstrip(), body[split + len("WHERE") :].strip())

@@ -49,8 +49,8 @@ sql_query(
     FROM part p, supplier s, partsupp ps, nation n, region r
     WHERE p.p_partkey = ps.ps_partkey
       AND s.s_suppkey = ps.ps_suppkey
-      AND p.p_size = 15
-      AND p.p_type LIKE '%BRASS'
+      AND p.p_size < 15
+      AND p.p_type LIKE '%DARD'
       AND s.s_nationkey = n.n_nationkey
       AND n.n_regionkey = r.r_regionkey
       AND r.r_name = 'EUROPE'
@@ -120,7 +120,7 @@ sql_query(
           SELECT ps.ps_suppkey
           FROM partsupp ps
           WHERE ps.ps_partkey IN (
-              SELECT p_partkey FROM part WHERE p_name LIKE 'p%'
+              SELECT p_partkey FROM part WHERE p_name LIKE 's%'
           )
           AND ps.ps_availqty > (
               SELECT 0.5 * SUM(l.l_quantity)

@@ -537,10 +537,14 @@ sql_query(
 
 sql_query(
     "not_exists_subquery",
+    # NOT EXISTS against a FILTERED lineitem subset: every sf0.01 part has
+    # at least one lineitem, so the unfiltered form returns 0 rows and can
+    # never catch a broken anti-join (114 rows with the quantity filter).
     """
     SELECT p_partkey FROM part p
     WHERE NOT EXISTS (
-        SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
     )
     """,
 )
@@ -602,10 +606,13 @@ sql_query(
 
 sql_query(
     "except_keys",
+    # the right side is a filtered supplier subset: every nation has SOME
+    # supplier, so the unfiltered EXCEPT is empty and vacuously green
+    # (11 surviving keys with the filter).
     """
     SELECT c_nationkey AS k FROM customer
     EXCEPT
-    SELECT s_nationkey AS k FROM supplier
+    SELECT s_nationkey AS k FROM supplier WHERE s_suppkey < 20
     """,
 )
 

@@ -210,3 +210,53 @@ def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY table_name
         """
     )
+
+
+@df_query(
+    "dml_update_from",
+    # The oracle restates the join-update's final table state as a left
+    # join + CASE — the same plan shape the desugared MERGE builds.
+    """
+    WITH src AS (
+      SELECT CAST(n_regionkey AS BIGINT) AS k,
+             CAST(SUM(n_nationkey) AS BIGINT) AS add_v
+      FROM nation WHERE n_nationkey < 10 GROUP BY n_regionkey
+    ),
+    tgt AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+             CAST(5 AS BIGINT) AS v
+      FROM region
+    )
+    SELECT t.k, t.name,
+           CASE WHEN s.k IS NOT NULL THEN t.v + s.add_v ELSE t.v END AS v
+    FROM tgt t LEFT JOIN src s ON t.k = s.k
+    """,
+)
+def dml_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres/DuckDB-style ``UPDATE ... FROM`` (join-based update),
+    desugared by the dialect to the MERGE machinery — one left join, error
+    on a target row matching multiple source rows (the determinism rule
+    DuckDB also enforces; beyond the reference, whose UPDATE never runs —
+    session.rs:130-134)."""
+    from qurious_spark.queries import ensure_views
+    from qurious_spark.session import Session
+
+    ensure_views(spark, sf_dir)
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS updf_t")
+    s.sql(
+        """CREATE TABLE updf_t AS
+           SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+                  CAST(5 AS BIGINT) AS v
+           FROM region"""
+    )
+    s.sql(
+        """
+        UPDATE updf_t SET v = v + u.add_v
+        FROM (SELECT CAST(n_regionkey AS BIGINT) AS k,
+                     CAST(SUM(n_nationkey) AS BIGINT) AS add_v
+              FROM nation WHERE n_nationkey < 10 GROUP BY n_regionkey) u
+        WHERE updf_t.k = u.k
+        """
+    )
+    return s.sql("SELECT k, name, v FROM updf_t")

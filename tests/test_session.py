@@ -386,3 +386,36 @@ def test_information_schema_view_not_leaked(session):
         if v.name.startswith("q_information_schema_tables_")
     ]
     assert leaked == []
+
+
+def test_update_from_join(fresh):
+    # Postgres/DuckDB UPDATE ... FROM, desugared to the MERGE machinery
+    # (dialect.py): join-based update with source-qualified expressions.
+    fresh.sql("CREATE TABLE uf_t (k BIGINT, v BIGINT)")
+    fresh.sql("INSERT INTO uf_t VALUES (1, 10), (2, 20), (3, 30)")
+    fresh.sql("CREATE TABLE uf_s (k BIGINT, nv BIGINT)")
+    fresh.sql("INSERT INTO uf_s VALUES (1, 100), (3, 300)")
+    fresh.sql("UPDATE uf_t SET v = uf_s.nv FROM uf_s WHERE uf_t.k = uf_s.k")
+    rows = {r.k: r.v for r in fresh.sql("SELECT k, v FROM uf_t").collect()}
+    assert rows == {1: 100, 2: 20, 3: 300}
+
+
+def test_update_from_subquery_source_and_expression(fresh):
+    fresh.sql("CREATE TABLE uf2_t (k BIGINT, v BIGINT)")
+    fresh.sql("INSERT INTO uf2_t VALUES (1, 10), (2, 20)")
+    fresh.sql("CREATE TABLE uf2_s (k BIGINT, d BIGINT)")
+    fresh.sql("INSERT INTO uf2_s VALUES (2, 7)")
+    fresh.sql("UPDATE uf2_t SET v = v + u.d FROM (SELECT k, d FROM uf2_s) u WHERE uf2_t.k = u.k")
+    rows = {r.k: r.v for r in fresh.sql("SELECT k, v FROM uf2_t").collect()}
+    assert rows == {1: 10, 2: 27}
+
+
+def test_update_from_multi_match_rejected(fresh):
+    import pytest as _pytest
+
+    fresh.sql("CREATE TABLE uf3_t (k BIGINT, v BIGINT)")
+    fresh.sql("INSERT INTO uf3_t VALUES (1, 10)")
+    fresh.sql("CREATE TABLE uf3_s (k BIGINT, nv BIGINT)")
+    fresh.sql("INSERT INTO uf3_s VALUES (1, 100), (1, 200)")
+    with _pytest.raises(ValueError, match="more than one source row"):
+        fresh.sql("UPDATE uf3_t SET v = uf3_s.nv FROM uf3_s WHERE uf3_t.k = uf3_s.k")

@@ -165,6 +165,7 @@ def main():
 
     con = duckdb_conn(args.sf)
     n_pass = n_fail = n_rows_only = 0
+    vacuous: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -177,6 +178,10 @@ def main():
                 n_rows_only += 1
                 continue
             problems = compare(name, df, con, oracles[name])
+            # a 0-row agreement proves nothing (the tpch_q9/left-anti
+            # lesson): surface it so vacuous greens get fixed, not trusted
+            if not problems and not con.sql(oracles[name]).fetchone():
+                vacuous.append(name)
         except Exception as e:
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
         if problems:
@@ -188,6 +193,8 @@ def main():
             n_pass += 1
             print(f"PASS {name} ({time.time()-t0:.1f}s)")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if vacuous:
+        print(f"VACUOUS (0-row green, proves nothing): {', '.join(vacuous)}")
     sys.exit(1 if n_fail else 0)
 
 
