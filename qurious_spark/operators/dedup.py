@@ -242,17 +242,9 @@ def _signatures_from_shingles(sh_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(
-    sig_df: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """LSH banding: candidate pairs agreeing on ALL rows of at least one band.
-
-    Signatures explode to one (id, band, row-values...) row per band, then a
-    SINGLE self-join on the full band key buckets candidates — one shuffle of
-    LSH_BANDS small rows per document, instead of LSH_BANDS separate
-    self-joins over the whole signature table.  Exact band equality (no
-    band-hash collisions).  Distinct dedups pairs found by multiple bands.
-    """
+def _band_frame(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a signature frame to one (id, band, s0..s{rows-1}) row per
+    LSH band — the joinable band index."""
     band_structs = F.array(
         *[
             F.struct(
@@ -265,10 +257,24 @@ def minhash_lsh_candidates(
             for b in range(LSH_BANDS)
         ]
     )
+    return sig_df.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bk")
+    ).select("id", "bk.*")
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: candidate pairs agreeing on ALL rows of at least one band.
+
+    Signatures explode to one (id, band, row-values...) row per band, then a
+    SINGLE self-join on the full band key buckets candidates — one shuffle of
+    LSH_BANDS small rows per document, instead of LSH_BANDS separate
+    self-joins over the whole signature table.  Exact band equality (no
+    band-hash collisions).  Distinct dedups pairs found by multiple bands.
+    """
     keys = ["band"] + [f"s{r}" for r in range(LSH_ROWS)]
-    ex = sig_df.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bk")).select(
-        "id", "bk.*"
-    )
+    ex = _band_frame(sig_df, id_col)
     from qurious_spark.operators.caching import persist_rotating
 
     # both join sides read this narrow frame (LSH_BANDS rows/doc); persisting
@@ -414,4 +420,86 @@ def minhash_lsh_ml(
             F.col(f"datasetB.{id_col}").alias("id_b"),
             F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
         )
+    )
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    corpus_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: which NEW documents duplicate the
+    already-indexed corpus or an earlier document in the same new batch.
+
+    The production shape this models: the corpus's minhash signatures are
+    PRECOMPUTED and stored (pass ``corpus_signatures``; derived from
+    ``corpus_df`` when absent) — each incoming batch only shingles itself,
+    probes the banded index with an equi-join, and exact-verifies the
+    candidates. Nothing rescans the corpus text except the candidate rows
+    themselves (shingled AFTER the candidate semi-join, so the regex work is
+    candidate-only). This is the don't-re-mine-100-TB path: per batch the
+    cost is O(|batch|) signature work + band-join probes + O(|candidates|)
+    verification.
+
+    Returns (new_id, dup_of, jaccard, origin) with origin 'corpus' (dup of
+    an indexed doc) or 'batch' (dup of a lower-id doc in the same batch).
+    """
+    from qurious_spark.operators.caching import persist_rotating
+
+    sh_new = persist_rotating(
+        spread(new_df).select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
+        ),
+        "incr_new_shingles",
+    )  # read by: signature agg, band probe (via sigs), and BOTH verify sides
+    sig_new = _signatures_from_shingles(sh_new, "id")
+    if corpus_signatures is None:
+        corpus_signatures = minhash_signatures(corpus_df, text_col, id_col)
+    keys = ["band"] + [f"s{r}" for r in range(LSH_ROWS)]
+    ex_new = _band_frame(sig_new, "id")
+    ex_c = _band_frame(corpus_signatures, id_col)
+    cand_corpus = (
+        ex_new.withColumnRenamed("id", "new_id")
+        .join(ex_c.withColumnRenamed("id", "dup_of"), keys)
+        .select("new_id", "dup_of")
+        .distinct()
+        .withColumn("origin", F.lit("corpus"))
+    )
+    cand_batch = (
+        ex_new.withColumnRenamed("id", "id_a")
+        .join(ex_new.withColumnRenamed("id", "id_b"), keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("new_id"), F.col("id_a").alias("dup_of"))
+        .distinct()
+        .withColumn("origin", F.lit("batch"))
+    )
+    cands = cand_corpus.unionByName(cand_batch)
+    # candidate-only corpus shingling: semi-join first, shingle after
+    c_ids = cand_corpus.select(F.col("dup_of").alias(id_col)).distinct()
+    sh_c = (
+        spread(corpus_df)
+        .join(c_ids, id_col)
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
+    )
+    dup_side = sh_c.unionByName(sh_new)
+    a = sh_new.withColumnsRenamed({"id": "new_id", "shs": "shs_n"})
+    b = dup_side.withColumnsRenamed({"id": "dup_of", "shs": "shs_d"})
+    return (
+        cands.join(a, "new_id")
+        .join(b, "dup_of")
+        .withColumn("inter", F.size(F.array_intersect("shs_n", "shs_d")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("shs_n") + F.size("shs_d") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "dup_of", "jaccard", "origin")
     )

@@ -366,3 +366,44 @@ def dedup_stream_exact(spark, sf_dir):
         output_mode="append",
     )
     return result
+
+
+@df_query(
+    "dedup_incremental",
+    # Exact replica of the incremental path: same sigs/banding CTEs, corpus =
+    # lower half of doc ids (the "already-indexed" set), new = upper half.
+    f"""
+    WITH {_duck_sigs_cte()},
+    c AS (SELECT * FROM sigs WHERE doc_id * 2 <= (SELECT MAX(doc_id) FROM documents)),
+    n AS (SELECT * FROM sigs WHERE doc_id * 2 > (SELECT MAX(doc_id) FROM documents)),
+    cand AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS dup_of, n.shs AS shs_n, c.shs AS shs_d,
+             'corpus' AS origin
+      FROM n JOIN c ON ({_duck_band_cond('n', 'c')})
+      UNION ALL
+      SELECT b.doc_id, a.doc_id, b.shs, a.shs, 'batch'
+      FROM n a JOIN n b ON a.doc_id < b.doc_id AND ({_duck_band_cond('a', 'b')})
+    )
+    SELECT new_id, dup_of, jaccard, origin FROM (
+      SELECT new_id, dup_of, origin,
+             ROUND(CAST(len(list_intersect(shs_n, shs_d)) AS DOUBLE)
+                   / (len(shs_n) + len(shs_d) - len(list_intersect(shs_n, shs_d))), 6)
+               AS jaccard
+      FROM cand)
+    WHERE jaccard >= {THRESH}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (operators/dedup.py
+    incremental_near_dups): the don't-re-mine-the-corpus path — the indexed
+    half's signatures act as the stored band index, only the new half is
+    shingled up front, and corpus text is re-shingled ONLY for candidate
+    rows (semi-join before the regex work). 13 corpus-dups + 8 batch-dups
+    at sf0.01 — both origins exercised."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0]  # 1-row driver scalar
+    corpus = docs.filter(F.col("doc_id") * 2 <= mid)
+    new = docs.filter(F.col("doc_id") * 2 > mid)
+    return D.incremental_near_dups(new, corpus, threshold=THRESH)

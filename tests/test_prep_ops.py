@@ -149,3 +149,30 @@ def test_chunking_null_text_behaves_as_empty(spark):
     rows = chunk_documents(df, chunk_size=32, overlap=8).collect()
     assert len(rows) == 1
     assert rows[0].chunk == "" and rows[0].n_chunk_tokens == 1  # one empty token
+
+
+def test_incremental_near_dups_matches_full_batch(spark):
+    """incremental(new, corpus) must find exactly the full-batch pairs whose
+    HIGHER id is in the new half (orientation: new_id > dup_of for batch
+    pairs; corpus pairs pair a new doc with an indexed one)."""
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") * 2 <= mid)
+    new = docs.filter(F.col("doc_id") * 2 > mid)
+    inc = {
+        (r.dup_of, r.new_id, r.jaccard)
+        for r in incremental_near_dups(new, corpus, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+        if r.id_b * 2 > mid  # pairs whose higher id is a "new" doc
+    }
+    assert inc == full and inc
