@@ -98,6 +98,10 @@ def semantic_dedup(
     oracle-replicable); ``iters>0`` runs that many Lloyd refinements first
     (better clusters, engine-specific float averages).
     """
+    if n_clusters <= 0:
+        raise ValueError("n_clusters must be positive")
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
     cent = (
         seed_centroids(df, n_clusters, id_col, vec_col)
         if iters == 0

@@ -80,7 +80,12 @@ def resample(
         # accept that the series itself is single-task by nature.
         raise ValueError("resample requires at least one key column")
     step = int(step_seconds)
-    targets = list(fill_cols) if fill_cols is not None else [n for n, _ in aggs]
+    names = [n for n, _ in aggs]
+    targets = list(fill_cols) if fill_cols is not None else names
+    unknown = [t for t in targets if t not in names]
+    if unknown:
+        # withColumn on an unknown name would silently CREATE a column
+        raise ValueError(f"fill_cols not in aggs outputs: {unknown}")
     keys = list(keys)
 
     binned = bucketize(df, ts_col, step)

@@ -87,6 +87,9 @@ def locf_stream(
         else:
             m, version, evicted_below = {}, 0, None
         for pdf in pdfs:
+            # drop NULL values first: batch SUM ignores them, and a bucket
+            # with ONLY nulls must stay a gap (pandas would sum it to 0.0)
+            pdf = pdf[pdf[value_col].notna()]
             bk = _epoch_seconds(pdf[ts_col]) // step * step
             for b, v in pdf[value_col].groupby(bk).sum().items():
                 b = int(b)

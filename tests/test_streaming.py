@@ -369,3 +369,36 @@ def test_locf_stream_eviction_bounds_state(spark, events_dir):
         # the clipped series must be the NEWEST buckets: its span ends at the
         # key's true max bucket (events run to end of January)
         assert max(buckets) >= 1706340000, k
+
+
+def test_locf_stream_null_values_stay_gaps(spark, tmp_path):
+    """A bucket whose only events carry NULL values must stay a gap (carried
+    forward), matching batch SUM semantics — not become an observed 0.0."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from qurious_spark.streaming import locf_stream
+    from qurious_spark.streaming.events import run_to_memory
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(ts=base, event_type="x", value=7.0),
+        Row(ts=base + dt.timedelta(hours=1), event_type="x", value=None),
+        Row(ts=base + dt.timedelta(hours=2), event_type="x", value=3.0),
+    ]
+    d = str(tmp_path / "nulls")
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double").write.parquet(d)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double").parquet(d)
+    )
+    got = {
+        r.bucket: (r.v_filled, r.observed)
+        for r in run_to_memory(
+            locf_stream(stream, step_seconds=3600), "t_locf_nulls", output_mode="update"
+        ).collect()
+    }
+    b0 = int(base.timestamp())
+    assert got[b0] == (7.0, True)
+    assert got[b0 + 3600] == (7.0, False)  # NULL-only bucket: gap, carried
+    assert got[b0 + 7200] == (3.0, True)

@@ -161,3 +161,8 @@ def test_resample_ffill_matches_pandas(spark, obs):
     assert got.keys() == want.keys()
     for key in want:
         assert got[key] == pytest.approx(want[key]), key
+
+
+def test_unknown_fill_cols_rejected(spark):
+    with pytest.raises(ValueError, match="fill_cols"):
+        resample(_series(spark), "ts", 60, ["k"], _aggs(), fill="ffill", fill_cols=["nope"])
