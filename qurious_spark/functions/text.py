@@ -148,3 +148,36 @@ def lang_id(col: Column) -> Column:
         .otherwise(0),
     )[0]
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm):
+# hash every character k-gram, then keep the minimum hash of each window of
+# w consecutive k-gram hashes. Guarantees: any shared substring of length
+# >= k + w - 1 contributes at least one shared fingerprint, and no match
+# shorter than k is ever detected. Character-level, so it survives token
+# reflows that break word-shingle dedup.
+WINNOW_P = 2_147_483_647
+
+
+def _md5_int(col: Column) -> Column:
+    """First 15 hex digits of md5 as bigint — same engine-neutral hash as
+    operators/dedup.py md5_int (kept in sync with the DuckDB oracle)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(col: Column, k: int = 7, w: int = 4) -> Column:
+    """Sorted distinct winnowing fingerprints of the normalized text
+    (array<bigint>). Pure array expressions — per-row work is O(n·k) hashing
+    + O(n·w) window minima, all inside whole-stage codegen, no explode."""
+    s = normalize(col)
+    n = F.length(s)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.substring(s, i, k),
+    )
+    hashes = F.transform(grams, lambda g: _md5_int(g) % WINNOW_P)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))

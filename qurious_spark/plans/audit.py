@@ -53,6 +53,12 @@ ALLOW_NON_EQUI = {
     # broadcast k-row centroid table (k≈16) — O(n·k), the standard k-means
     # scoring shape; the within-cluster pair join is a plain equi-join.
     "embedding_semdedup",
+    # The derived-partsupp CTE's `% (SELECT count(*) FROM supplier)` scalar
+    # subquery plans as a 1-row broadcast BNLJ at the 10x data shape (at
+    # sf0.001 it stays a subquery expression) — same benign O(n)
+    # broadcast-scalar class as tpch_q11; build side is a 1-row aggregate.
+    "tpch_q2_partsupp",
+    "tpch_q11_partsupp",
 }
 
 # Queries whose Python stages are the point (stubbed decode, MLlib UDFs).

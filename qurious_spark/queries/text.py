@@ -437,3 +437,58 @@ def text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "typo_id", "typo", F.col("n_name").alias("matched"), F.col("dist")
     )
+
+
+@df_query(
+    "text_winnow_fingerprints",
+    # Same md5-derived k-gram hash as the Spark side (queries/dedup.py
+    # _duck_md5int), same window minima; arrays compacted to count/min/max/
+    # sum so the hash compare pins every fingerprint without hauling the
+    # full arrays. Spark sequence(1, m) is inclusive -> DuckDB range(1, m+1);
+    # DuckDB list slices are 1-based inclusive -> hs[j : j+w-1].
+    """
+    WITH nrm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(range(1, greatest(len(s) - 7 + 1, 1) + 1),
+                                  i -> substr(s, i, 7)),
+                   g -> ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(g), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(g), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(g), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(g), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(g), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(g), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(g), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(g), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(g), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(g), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(g), 15, 1)) - 1) * 1) % 2147483647) AS hs
+        FROM nrm
+    ),
+    m AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                                  j -> list_min(hs[j : j + 3])))) AS fp
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fp) AS BIGINT) AS n_fp,
+           fp[1] AS fp_min,
+           fp[-1] AS fp_max,
+           CAST(list_sum(fp) AS BIGINT) AS fp_sum
+    FROM m
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS, SIGMOD 2003): character
+    k-gram hashes, window-min selection (functions/text.py
+    winnow_fingerprints) — the character-level copy-detection sketch that
+    survives token reflows word-shingle dedup misses. Guarantee: any shared
+    substring >= k+w-1 chars shares a fingerprint. Map-only, codegen-only;
+    at 100 TB the fingerprint inverted index joins on bigints."""
+    from qurious_spark.functions.text import winnow_fingerprints
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fp"))
+    return fp.select(
+        "doc_id",
+        F.size("fp").cast("bigint").alias("n_fp"),
+        F.array_min("fp").alias("fp_min"),
+        F.array_max("fp").alias("fp_max"),
+        F.expr("aggregate(fp, 0L, (a, x) -> a + x)").alias("fp_sum"),
+    )
