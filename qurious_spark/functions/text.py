@@ -52,14 +52,22 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 def ngrams(col: Column, n: int) -> Column:
     """n-token grams of the normalized text (array<string>); empty array
-    for docs shorter than n tokens."""
+    for docs shorter than n tokens.
+
+    arrays_zip over shifted copies (see operators/dedup.py shingles): a
+    lambda must not capture the token array, or Spark re-evaluates the
+    whole tokenization per gram — O(n²) per document."""
     toks = tokens(col)
+    shifted = [toks] + [
+        F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    full = F.filter(
+        F.arrays_zip(*shifted), lambda s: s[str(n - 1)].isNotNull()
+    )
     return F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
+        F.transform(full, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -167,8 +175,13 @@ def _md5_int(col: Column) -> Column:
 
 def winnow_fingerprints(col: Column, k: int = 7, w: int = 4) -> Column:
     """Sorted distinct winnowing fingerprints of the normalized text
-    (array<bigint>). Pure array expressions — per-row work is O(n·k) hashing
-    + O(n·w) window minima, all inside whole-stage codegen, no explode."""
+    (array<bigint>).
+
+    WARNING — short strings only: Spark evaluates a higher-order lambda's
+    argument expressions per outer element, so the nested transform here
+    recomputes the gram-hash array for EVERY window position — O(n²)
+    interpreted md5 per row (~1s/doc at 1k grams). For corpus work use
+    :func:`winnow_fingerprint_pairs`, which hashes each gram once."""
     s = normalize(col)
     n = F.length(s)
     grams = F.transform(
@@ -181,3 +194,60 @@ def winnow_fingerprints(col: Column, k: int = 7, w: int = 4) -> Column:
         lambda j: F.array_min(F.slice(hashes, j, w)),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprint_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 4,
+):
+    """(id, fingerprint) pairs of the winnowing sketch — the SCALE path.
+
+    The array-valued :func:`winnow_fingerprints` nests higher-order lambdas,
+    and Spark evaluates a lambda's argument expressions per outer element —
+    the gram-hash array is recomputed for every window position, O(n²)
+    interpreted md5 per document. This variant computes each gram hash ONCE
+    (posexplode, then hash per exploded row — plain codegen'd expressions)
+    and takes window minima with a key-partitioned ROWS window, O(n·w) per
+    document and one shuffle on the document id. Use this form for joins
+    and aggregates; the array form is fine for short strings.
+    """
+    from pyspark.sql import Window
+
+    # explode POSITIONS, not a gram array built by a lambda that captures
+    # the normalized string (that form re-runs the normalize regex per
+    # gram — O(n·|s|) per doc). The Generate's child computes __s once per
+    # input row; the substring below runs once per exploded row.
+    base = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__s"))
+    ex = base.select(
+        F.col(id_col),
+        "__s",
+        F.posexplode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("__s") - k + 1, F.lit(1))
+            )
+        ).alias("__pos", "__i"),
+    )
+    h = ex.select(
+        F.col(id_col),
+        F.col("__pos"),
+        (
+            _md5_int(F.substring(F.col("__s"), F.col("__i"), F.lit(k)))
+            % WINNOW_P
+        ).alias("__hv"),
+    )
+    fwd = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    part = Window.partitionBy(id_col)
+    return (
+        h.withColumn("__wm", F.min("__hv").over(fwd))
+        .withColumn("__n", F.count("*").over(part))
+        # windows that extend past the last gram are not selection windows
+        # (except when the doc has fewer than w grams: single window)
+        .filter(
+            (F.col("__pos") <= F.col("__n") - w) | (F.col("__pos") == 0)
+        )
+        .select(F.col(id_col), F.col("__wm").alias("fingerprint"))
+        .distinct()
+    )

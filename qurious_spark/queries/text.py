@@ -479,16 +479,76 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram hashes, window-min selection (functions/text.py
     winnow_fingerprints) — the character-level copy-detection sketch that
     survives token reflows word-shingle dedup misses. Guarantee: any shared
-    substring >= k+w-1 chars shares a fingerprint. Map-only, codegen-only;
-    at 100 TB the fingerprint inverted index joins on bigints."""
-    from qurious_spark.functions.text import winnow_fingerprints
+    substring >= k+w-1 chars shares a fingerprint. Uses the explode+window
+    pair path (each gram hashed ONCE; the nested-lambda array form is
+    O(n^2) per doc — see winnow_fingerprint_pairs docstring)."""
+    from qurious_spark.functions.text import winnow_fingerprint_pairs
 
     docs = table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fp"))
-    return fp.select(
-        "doc_id",
-        F.size("fp").cast("bigint").alias("n_fp"),
-        F.array_min("fp").alias("fp_min"),
-        F.array_max("fp").alias("fp_max"),
-        F.expr("aggregate(fp, 0L, (a, x) -> a + x)").alias("fp_sum"),
+    pairs = winnow_fingerprint_pairs(docs)
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.min("fingerprint").alias("fp_min"),
+        F.max("fingerprint").alias("fp_max"),
+        F.sum("fingerprint").cast("bigint").alias("fp_sum"),
+    )
+
+
+@df_query(
+    "text_winnow_overlap",
+    # Inverted-index overlap on the winnowing sketch: explode fingerprints,
+    # equi-self-join on the bigint value, count shared per pair. The oracle
+    # reuses the exact fingerprint CTE from text_winnow_fingerprints.
+    """
+    WITH nrm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(range(1, greatest(len(s) - 7 + 1, 1) + 1),
+                                  i -> substr(s, i, 7)),
+                   g -> ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(g), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(g), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(g), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(g), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(g), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(g), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(g), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(g), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(g), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(g), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(g), 15, 1)) - 1) * 1) % 2147483647) AS hs
+        FROM nrm
+    ),
+    m AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                                  j -> list_min(hs[j : j + 3]))) AS fp
+        FROM h
+    ),
+    ex AS (SELECT doc_id, unnest(fp) AS f FROM m)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 20
+    """,
+)
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy detection over the winnowing sketch: document pairs sharing >= 20
+    fingerprints, found with a fingerprint inverted-index self-join — the
+    join shuffles (doc_id, bigint) rows keyed on the fingerprint value, so
+    at corpus scale the pair search never touches text and never goes
+    quadratic outside genuinely-shared fingerprints. (Hot boilerplate
+    fingerprints can be frequency-capped exactly like dedup's
+    max_shingle_freq if a corpus needs it.)"""
+    from qurious_spark.functions.text import winnow_fingerprint_pairs
+    from qurious_spark.operators.caching import persist_rotating
+
+    docs = table(spark, sf_dir, "documents")
+    ex = persist_rotating(
+        winnow_fingerprint_pairs(docs).withColumnRenamed("fingerprint", "f"),
+        "winnow_fp_pairs",
+    )  # computed once, read by both join sides
+    a = ex.withColumnRenamed("doc_id", "id_a")
+    b = ex.withColumnRenamed("doc_id", "id_b")
+    return (
+        a.join(b, "f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= 20)
     )
