@@ -199,6 +199,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_retention",
 )
 
+# Round-5 rotation candidates (registered after the round-4 window was
+# fixed, each already green on the local gate): events_stream_gapfill,
+# recursive_cte_months, dml_update_from, dedup_incremental,
+# text_winnow_fingerprints, text_winnow_overlap.
+
 
 def ordered_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """REGISTRY with DRIVER_PRIORITY entries first, the rest in
