@@ -20,6 +20,8 @@ Conventions (driver contract):
   can differ by 1 ulp of digit n (bit tpch_q2 at sf0.1). When a per-row
   value can land near half-points, round via an integer scale instead:
   ROUND(x * 10^n) / 10^n. Aggregates over many rows are far less exposed.
+- DuckDB ``date_trunc('month'/'year', ts)`` returns DATE where Spark returns
+  TIMESTAMP — CAST both sides to DATE (round-4 datetime-fuzzer find).
 """
 
 from __future__ import annotations
