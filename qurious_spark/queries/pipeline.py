@@ -348,3 +348,56 @@ def pipeline_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+@df_query(
+    "pipeline_quality_checks",
+    # The oracle recomputes each metric independently with plain SQL. The
+    # range check is deliberately FAILING (metric ~0.197, passed=false) so a
+    # validator that rubber-stamps everything cannot hash-match.
+    """
+    SELECT 'completeness' AS check, 'o_orderdate' AS target,
+           ROUND(CAST(COUNT(o_orderdate) AS DOUBLE) / COUNT(*), 6) AS metric,
+           CAST(1.0 AS DOUBLE) AS threshold,
+           COUNT(o_orderdate) = COUNT(*) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6),
+           CAST(1.0 AS DOUBLE), COUNT(DISTINCT o_orderkey) = COUNT(o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'range', 'o_totalprice',
+           ROUND(CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 100000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(o_totalprice), 6),
+           CAST(1.0 AS DOUBLE),
+           SUM(CASE WHEN o_totalprice BETWEEN 0 AND 100000 THEN 1 ELSE 0 END)
+             = COUNT(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key', 'o_custkey',
+           ROUND(CAST((SELECT COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) AS DOUBLE)
+                 / (SELECT COUNT(o_custkey) FROM orders), 6),
+           CAST(1.0 AS DOUBLE),
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL) = 0
+    """,
+)
+def pipeline_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate (operators/quality.py): completeness,
+    uniqueness, value-range and referential-integrity checks — every column
+    metric from ONE aggregation over ONE scan, FK integrity via an
+    anti-join. The range check intentionally fails on this data (orders
+    above 100k exist) so the validator's fail path is hash-verified, not
+    just its rubber stamp."""
+    from qurious_spark.operators.quality import quality_report
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return quality_report(
+        orders,
+        completeness={"o_orderdate": 1.0},
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0.0, 100000.0)},
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
