@@ -401,3 +401,66 @@ def pipeline_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranges={"o_totalprice": (0.0, 100000.0)},
         foreign_keys=[("o_custkey", customer, "c_custkey")],
     )
+
+
+@df_query(
+    "pipeline_psi_drift",
+    # Oracle replicates the fixed-edge bucketing and the PSI formula; the
+    # split (pre-1998 vs 1998+) gives genuinely different totalprice mixes
+    # so per-bucket contributions are non-trivial. epsilon floors empty
+    # buckets exactly as the operator does.
+    """
+    WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) < 1998),
+    cur AS (SELECT o_totalprice AS v FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998),
+    rb AS (
+      SELECT CASE WHEN v < 50000 THEN 0 WHEN v < 100000 THEN 1
+                  WHEN v < 200000 THEN 2 WHEN v < 300000 THEN 3 ELSE 4 END AS bucket,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ref WHERE v IS NOT NULL) AS ref_frac
+      FROM ref WHERE v IS NOT NULL GROUP BY 1
+    ),
+    cb AS (
+      SELECT CASE WHEN v < 50000 THEN 0 WHEN v < 100000 THEN 1
+                  WHEN v < 200000 THEN 2 WHEN v < 300000 THEN 3 ELSE 4 END AS bucket,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM cur WHERE v IS NOT NULL) AS cur_frac
+      FROM cur WHERE v IS NOT NULL GROUP BY 1
+    ),
+    per AS (
+      SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+             COALESCE(ref_frac, 0.0) AS ref_frac,
+             COALESCE(cur_frac, 0.0) AS cur_frac
+      FROM rb FULL JOIN cb ON rb.bucket = cb.bucket
+    ),
+    scored AS (
+      SELECT bucket, ref_frac, cur_frac,
+             (cur_frac - ref_frac) * ln((cur_frac + 0.000001) / (ref_frac + 0.000001)) AS psi
+      FROM per
+    )
+    SELECT CAST(bucket AS INT) AS bucket, ROUND(ref_frac, 6) AS ref_frac,
+           ROUND(cur_frac, 6) AS cur_frac, ROUND(psi, 6) AS psi
+    FROM scored
+    UNION ALL
+    SELECT -1, ROUND(SUM(ref_frac), 6), ROUND(SUM(cur_frac), 6), ROUND(SUM(psi), 6)
+    FROM scored
+    """,
+)
+def pipeline_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two generations of orders
+    (operators/drift.py): fixed bucket edges so runs stay comparable, one
+    CASE-bucketed aggregation per side, bucket -1 = total PSI. The standard
+    model/data-monitoring statistic for recurring ingestion."""
+    from qurious_spark.operators.drift import psi
+
+    orders = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    out = psi(
+        orders.filter(yr < 1998),
+        orders.filter(yr >= 1998),
+        "o_totalprice",
+        edges=[50000.0, 100000.0, 200000.0, 300000.0],
+    )
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round("ref_frac", 6).alias("ref_frac"),
+        F.round("cur_frac", 6).alias("cur_frac"),
+        F.round("psi", 6).alias("psi"),
+    )
