@@ -59,6 +59,9 @@ ALLOW_NON_EQUI = {
     # broadcast-scalar class as tpch_q11; build side is a 1-row aggregate.
     "tpch_q2_partsupp",
     "tpch_q11_partsupp",
+    # per-side bucket fractions divide by a 1-row broadcast total
+    # (crossJoin(broadcast(count)) — the tpch_q11 broadcast-scalar shape)
+    "pipeline_psi_drift",
 }
 
 # Queries whose Python stages are the point (stubbed decode, MLlib UDFs).
