@@ -27,6 +27,35 @@ def _testdata_views(spark):
 
     load_tables(spark, SF)
 
+
+def _assert_match(session, duck, sql):
+    """Run both engines and compare as multisets. An INTERNAL (assertion)
+    error inside DuckDB — observed on duckdb 1.0.0 for some
+    `(x IS NOT NULL AND ..) OR (.. AND x IS NOT NULL)` join filters — is an
+    ORACLE fault, not an engine mismatch: the example is discarded
+    (hypothesis.assume), since a crashed oracle can't adjudicate."""
+    import duckdb as _duckdb
+    from hypothesis import assume
+
+    engine_rows = sorted(
+        (tuple(r) for r in session.sql(sql).collect()),
+        key=lambda row: tuple((v is None, str(v)) for v in row),
+    )
+    try:
+        fetched = duck.execute(sql).fetchall()
+    except _duckdb.InternalException:
+        assume(False)  # oracle assertion failure: inconclusive example
+        return
+    duck_rows = sorted(
+        (tuple(r) for r in fetched),
+        key=lambda row: tuple((v is None, str(v)) for v in row),
+    )
+    norm = lambda rows: [
+        tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
+    ]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+
+
 # integer-typed columns of the customer table (engine-neutral arithmetic)
 _INT_COLS = ["c_custkey", "c_nationkey"]
 
@@ -95,12 +124,7 @@ def _query(draw) -> str:
 )
 @given(sql=_query())
 def test_engine_matches_duckdb_on_random_queries(session, duck, sql):
-    nkey = lambda row: tuple((v is None, v) for v in row)
-    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
-    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
-    # normalize int widths (DuckDB may return int32 vs Spark int64)
-    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
-    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+    _assert_match(session, duck, sql)
 
 
 @st.composite
@@ -136,11 +160,7 @@ def _join_query(draw) -> str:
 )
 @given(sql=_join_query())
 def test_engine_matches_duckdb_on_random_joins(session, duck, sql):
-    nkey = lambda row: tuple((v is None, v) for v in row)
-    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
-    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
-    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
-    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+    _assert_match(session, duck, sql)
 
 
 @st.composite
@@ -181,11 +201,7 @@ def _agg_query(draw) -> str:
 )
 @given(sql=_agg_query())
 def test_engine_matches_duckdb_on_random_aggregates(session, duck, sql):
-    nkey = lambda row: tuple((v is None, v) for v in row)
-    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
-    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
-    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
-    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+    _assert_match(session, duck, sql)
 
 
 @st.composite
@@ -224,11 +240,7 @@ def _setop_or_window_query(draw) -> str:
 )
 @given(sql=_setop_or_window_query())
 def test_engine_matches_duckdb_on_setops_and_windows(session, duck, sql):
-    nkey = lambda row: tuple((v is None, v) for v in row)
-    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
-    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
-    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
-    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+    _assert_match(session, duck, sql)
 
 
 # string-typed columns + engine-neutral string algebra (no negative SUBSTR
@@ -292,11 +304,7 @@ def _string_query(draw) -> str:
 )
 @given(sql=_string_query())
 def test_engine_matches_duckdb_on_string_functions(session, duck, sql):
-    nkey = lambda row: tuple((v is None, v) for v in row)
-    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
-    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
-    norm = lambda rows: [tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows]
-    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+    _assert_match(session, duck, sql)
 
 
 @st.composite
@@ -346,10 +354,4 @@ def _datetime_query(draw) -> str:
 )
 @given(sql=_datetime_query())
 def test_engine_matches_duckdb_on_datetime_functions(session, duck, sql):
-    nkey = lambda row: tuple((str(v) if v is not None else "", v is None) for v in row)
-    engine_rows = sorted((tuple(r) for r in session.sql(sql).collect()), key=nkey)
-    duck_rows = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=nkey)
-    norm = lambda rows: [
-        tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
-    ]
-    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+    _assert_match(session, duck, sql)
