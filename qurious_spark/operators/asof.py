@@ -22,17 +22,24 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
     tolerance_expr: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the payload of the latest
     ``right`` row with the same ``on`` key and ``right_ts <= left_ts``
     (inclusive, matching DuckDB ASOF semantics). Payload columns come back
     prefixed ``asof_`` and are NULL when no prior right row exists.
 
+    ``direction="forward"`` (pandas merge_asof parity) matches the EARLIEST
+    right row with ``right_ts >= left_ts`` instead — same union+window plan
+    mirrored onto a [current, unbounded following] frame.
+
     Ties on the timestamp resolve deterministically: right rows at the same
-    instant sort before left rows (so an equal-time right row IS visible),
-    and among equal-time right rows the one latest in ``right_payload[0]``
-    order wins.
+    instant are visible to equal-time left rows in both directions; among
+    equal-time right rows, backward picks the latest ``right_payload[0]``
+    and forward the earliest.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -52,16 +59,31 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
     )
     tiebreak = F.col(f"__r_{right_payload[0]}") if right_payload else F.lit(0)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_right").desc(), tiebreak.asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # equal-time right rows sort BEFORE left so they are visible to the
+        # running last() over the past frame
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(
+                F.col("__t").asc(), F.col("__is_right").desc(), tiebreak.asc_nulls_first()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)
+    else:
+        # mirrored: equal-time right rows sort AFTER left so they are
+        # visible to the first() over the future frame
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(
+                F.col("__t").asc(), F.col("__is_right").asc(), tiebreak.asc_nulls_first()
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)
     combined = l.unionByName(r)
     for c in right_payload:
-        combined = combined.withColumn(
-            f"asof_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
+        combined = combined.withColumn(f"asof_{c}", pick(f"__r_{c}"))
     out = combined.filter(F.col("__is_right") == 0).select(
         *lcols, *[f"asof_{c}" for c in right_payload]
     )

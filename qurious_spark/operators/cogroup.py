@@ -46,10 +46,12 @@ def asof_align(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Per-key pandas ``merge_asof`` (backward, inclusive): each left row
-    gets the latest right payload at-or-before its timestamp — same
-    semantics as operators/asof.asof_join, with payload columns prefixed
+    """Per-key pandas ``merge_asof`` (inclusive): each left row gets the
+    latest right payload at-or-before (``backward``) or the earliest
+    at-or-after (``forward``) its timestamp — same semantics and tiebreaks
+    as operators/asof.asof_join, with payload columns prefixed
     ``asof_``."""
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
@@ -88,7 +90,7 @@ def asof_align(
             r,
             left_on=left_ts,
             right_on="__rt",
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
         )
         return merged[out_cols]

@@ -58,3 +58,45 @@ def test_cogroup_apply_keys_one_sided(spark):
     rows = cogroup_apply(l, r, "k", fn, "k int, n_left long, n_right long").collect()
     got = {r.k: (r.n_left, r.n_right) for r in rows}
     assert got == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
+
+
+def test_forward_direction_matches_pandas_reference(spark, clicks_purchases):
+    """direction='forward': the JVM union+future-window plan must agree
+    row-for-row with the independent per-key pandas merge_asof."""
+    clicks, purchases = clicks_purchases
+    jvm = {
+        r.event_id: (r.asof_event_id, r.asof_value)
+        for r in asof_join(
+            clicks,
+            purchases,
+            on="user_id",
+            right_payload=["event_id", "value"],
+            direction="forward",
+        ).collect()
+    }
+    py = {
+        r.event_id: (r.asof_event_id, r.asof_value)
+        for r in asof_align(
+            clicks,
+            purchases,
+            on="user_id",
+            right_payload=["event_id", "value"],
+            direction="forward",
+        ).collect()
+    }
+    assert jvm and py
+    assert jvm == py
+    # forward and backward genuinely differ on this data
+    back = {
+        r.event_id: (r.asof_event_id, r.asof_value)
+        for r in asof_join(
+            clicks, purchases, on="user_id", right_payload=["event_id", "value"]
+        ).collect()
+    }
+    assert jvm != back
+
+
+def test_asof_bad_direction_rejected(spark, clicks_purchases):
+    clicks, purchases = clicks_purchases
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(clicks, purchases, on="user_id", direction="sideways")
