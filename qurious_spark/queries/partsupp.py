@@ -115,7 +115,10 @@ sql_query(
     SELECT s.s_name, n.n_name
     FROM supplier s, nation n
     WHERE s.s_nationkey = n.n_nationkey
-      AND n.n_name = 'NATION_3'
+      -- NATION_9: the nation with qualifying suppliers at sf0.01 (NATION_3
+      -- has none — the q20 availqty condition left the result vacuously
+      -- empty, caught by the gate's VACUOUS warning)
+      AND n.n_name = 'NATION_9'
       AND s.s_suppkey IN (
           SELECT ps.ps_suppkey
           FROM partsupp ps
