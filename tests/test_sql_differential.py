@@ -12,11 +12,15 @@ planner/semantics bug, not a representation difference.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 SF = "/root/testdata/sf0.001"
+# deeper soak runs: FUZZ_EXAMPLES=500 python -m pytest tests/test_sql_differential.py
+N_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "40"))
 
 
 @pytest.fixture(autouse=True)
@@ -118,7 +122,7 @@ def _query(draw) -> str:
 
 
 @settings(
-    max_examples=40,
+    max_examples=N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -154,7 +158,7 @@ def _join_query(draw) -> str:
 
 
 @settings(
-    max_examples=40,
+    max_examples=N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -195,7 +199,7 @@ def _agg_query(draw) -> str:
 
 
 @settings(
-    max_examples=40,
+    max_examples=N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -234,7 +238,7 @@ def _setop_or_window_query(draw) -> str:
 
 
 @settings(
-    max_examples=40,
+    max_examples=N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -298,7 +302,7 @@ def _string_query(draw) -> str:
 
 
 @settings(
-    max_examples=40,
+    max_examples=N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -348,7 +352,7 @@ def _datetime_query(draw) -> str:
 
 
 @settings(
-    max_examples=40,
+    max_examples=N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
