@@ -22,6 +22,18 @@ Conventions (driver contract):
   ROUND(x * 10^n) / 10^n. Aggregates over many rows are far less exposed.
 - DuckDB ``date_trunc('month'/'year', ts)`` returns DATE where Spark returns
   TIMESTAMP — CAST both sides to DATE (round-4 datetime-fuzzer find).
+- NO ARRAY-TYPED OUTPUT COLUMNS: the driver canonicalizer sorts result
+  frames with pandas ``sort_values``/hashing, which crashes on list cells
+  (r4 ``TypeError: unhashable type: 'list'`` on multimodal_image_features).
+  Serialize arrays to a deterministic string on BOTH sides — Spark
+  ``array_join(transform(a, x -> CAST(.. AS STRING)), ',')`` ≙ DuckDB
+  ``array_to_string(list_transform(a, x -> CAST(.. AS VARCHAR)), ',')`` —
+  or unpivot to one row per element. Float elements go through an integer
+  micro-scale (``CAST(ROUND(x * 1e6) AS BIGINT)``) first.
+- NO DECIMAL(20,0)/u64-range OUTPUT COLUMNS: the driver value-hash is
+  representation-sensitive for 20-digit decimals (source_uint_parquet was
+  hash-red r1-r4 with rows+schema green). Surface them as the digit string
+  (``CAST(dec AS STRING/VARCHAR)``) or as hi/lo bigints.
 """
 
 from __future__ import annotations
@@ -126,10 +138,12 @@ def load_all() -> None:
 # Everything outside the prefix keeps registration order and stays covered
 # by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # flagship + DDL/DML/MERGE (§2.1 Ddl/Dml, §2.2 managed table)
+    # flagship + DDL/DML (§2.1 Ddl/Dml, §2.2 managed table). Round-5
+    # rotation: merge_upsert (green r4) -> dml_update_from (never checked);
+    # the Dml row keeps dml_roundtrip in-window + merge_upsert's r4 green.
     "tpch_q1",
     "dml_roundtrip",
-    "merge_upsert",
+    "dml_update_from",
     # §2.2 sources: CSV + COPY TO + read_csv fn / NDJSON / COPY FROM .tbl,
     # uint-typed parquet, information_schema catalog
     "source_csv_roundtrip",
@@ -137,15 +151,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_uint_parquet",
     "source_orc_roundtrip",
     "catalog_information_schema",
-    # §2.5 windows, set ops, CTE, streaming, UDF. (The SubqueryAlias row is
-    # evidenced by cte_query: the reference plans CTEs as SubqueryAlias
-    # nodes — SURVEY §3.1 — so the single-purpose subquery_alias query can
-    # live outside the window.)
+    # §2.5 windows, set ops, CTE, streaming, UDF. Round-5 rotation:
+    # cte_query (green r4) -> recursive_cte_months (WITH RECURSIVE, never
+    # checked) — still a CTE planned as SubqueryAlias (SURVEY §3.1), so the
+    # SubqueryAlias row keeps an in-window rep; is_null_checks returns to
+    # the window once to clear its stale r1/r2 red ledger rows (its fix is
+    # local-gate green but was never re-driver-checked; §2.3 row otherwise
+    # covered by predicate_suite).
     "window_rank_dense",
-    "cte_query",
+    "recursive_cte_months",
     "events_stream_sliding",
     "events_stream_session",
     "udf_vectorized",
+    "is_null_checks",
     # §2.1/§2.3 rotated-in: partsupp-topology q11, qualified wildcard
     "tpch_q11_partsupp",
     "wildcard_qualified",
@@ -184,27 +202,28 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_binned",
     "pipeline_decontaminate",
     "multimodal_image_features",
-    # round-5 rotation: time-series gapfill + semantic dedup take the slots
-    # of three r03-green singletons whose families keep in-window reps
-    # (ndjson->csv/copy/uint/orc, running_sum->rank_dense,
-    # stream_tumbling->stream_sliding/session)
-    "events_gapfill",
+    # round-5 rotation: the r4-green singletons events_gapfill, dedup_prefix,
+    # text_pii_redact, embedding_quantize, events_retention rotate out for
+    # never-driver-checked entries; each family keeps an in-window rep
+    # (gapfill -> events_stream_gapfill, dedup -> exact/minhash/simhash/
+    # resolve/incremental, text -> chunk/length/winnow, embedding ->
+    # semdedup/ann_lsh, events -> funnel/stream_sliding/stream_session).
+    "events_stream_gapfill",
     "embedding_semdedup",
-    # round-4 prep operators (chunking, PII, split, prefix dedup, int8
-    # quantization, retention, quantile filter) — first driver check
     "text_chunk_documents",
-    "text_pii_redact",
     "text_length_filter",
     "pipeline_split_train",
-    "dedup_prefix",
-    "embedding_quantize",
-    "events_retention",
+    "dedup_incremental",
+    "text_winnow_fingerprints",
+    "text_winnow_overlap",
 )
 
-# Round-5 rotation candidates (registered after the round-4 window was
-# fixed, each already green on the local gate): events_stream_gapfill,
-# recursive_cte_months, dml_update_from, dedup_incremental,
-# text_winnow_fingerprints, text_winnow_overlap.
+# Round-6 rotation candidates (r4/r5-green in-window singletons whose
+# families retain coverage): events_stream_sliding or _session (keep one),
+# text_chunk_documents, pipeline_split_train, sample_stratified_hash,
+# sketch_bitmap_distinct — swap for never-checked entries such as
+# pipeline_psi_drift, pipeline_quality_checks, pipeline_profile,
+# events_stream_tumbling, dedup_ngram_jaccard re-checks.
 
 
 def ordered_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -145,7 +145,11 @@ def write_ppm_fixture() -> None:
     "multimodal_image_features",
     f"""
     SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-           mean_luma, feature
+           CAST(ROUND(mean_luma * 1000000) AS BIGINT) AS luma_q6,
+           array_to_string(
+               list_transform(feature,
+                              x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS VARCHAR)),
+               ',') AS feature_q6
     FROM '{PPM_EXPECTED_PATH}'
     """,
 )
@@ -153,7 +157,15 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode on the driver's hard signal: parse binary PGM blobs
     (header + raw bytes) inside mapInPandas and reduce to dims/luma/stripe
     features; the oracle reads expectations computed at fixture-build time
-    from the source pixel arrays (see write_ppm_fixture)."""
+    from the source pixel arrays (see write_ppm_fixture).
+
+    Hash-stability: the driver's pandas canonicalizer cannot sort/hash list
+    columns (r4 `TypeError: unhashable type: 'list'`), so per the registry
+    array-column convention the feature vector is serialized to a
+    comma-joined string of micro-scaled integers on BOTH sides, and
+    mean_luma likewise becomes a micro-scaled BIGINT. Both engines hold
+    bit-identical float64s (same numpy pipeline on the engine side, stored
+    expectations on the oracle side), so the scaled integers agree exactly."""
     from qurious_spark.sources.readers import read_parquet
 
     write_ppm_fixture()
@@ -163,6 +175,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
-        "mean_luma",
-        "feature",
+        F.expr("CAST(ROUND(mean_luma * 1000000) AS BIGINT)").alias("luma_q6"),
+        F.expr(
+            "array_join(transform(feature,"
+            " x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS STRING)), ',')"
+        ).alias("feature_q6"),
     )

@@ -142,7 +142,7 @@ def source_copy_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(u8 AS SMALLINT) AS u8,
            CAST(u16 AS INTEGER) AS u16,
            CAST(u32 AS BIGINT) AS u32,
-           CAST(u64 AS DECIMAL(20,0)) AS u64
+           CAST(CAST(u64 AS DECIMAL(20,0)) AS VARCHAR) AS u64_str
     FROM '{UINT_FIXTURE_PATH}'
     """,
 )
@@ -150,7 +150,15 @@ def source_uint_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsigned parquet columns land on the §7.4.2 up-range mapping —
     uint8→smallint, uint16→int, uint32→bigint, uint64→decimal(20,0) —
     with full-range values (incl. 2^64-1) intact; DuckDB reads the native
-    unsigned types from the same file and casts to the same shapes."""
+    unsigned types from the same file and casts to the same shapes.
+
+    The u64 column is surfaced as its decimal(20,0) DIGIT STRING on both
+    sides: the driver's value-hash is representation-sensitive for 20-digit
+    decimals (hash-red in r2 and r4 with rows+schema green), while the
+    digit string of an exact integer decimal is engine-independent. The
+    decimal mapping itself is still exercised — the cast chain goes through
+    DECIMAL(20,0) before VARCHAR, so truncation/overflow would corrupt the
+    digits."""
     from qurious_spark.sources.readers import read_parquet
 
     path = write_uint_fixture()
@@ -159,7 +167,7 @@ def source_uint_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(u8 AS SMALLINT) AS u8",
         "CAST(u16 AS INT) AS u16",
         "CAST(u32 AS BIGINT) AS u32",
-        "CAST(u64 AS DECIMAL(20,0)) AS u64",
+        "CAST(CAST(u64 AS DECIMAL(20,0)) AS STRING) AS u64_str",
     )
 
 
