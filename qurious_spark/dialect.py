@@ -267,7 +267,12 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
             if src_is_query:
                 close = source_part.rfind(")")
                 src_text = source_part[1:close]
-                src_alias = source_part[close + 1 :].strip().removeprefix("AS ").strip() or None
+                # the UPDATE regex is case-insensitive, so the optional AS
+                # keyword must be stripped case-insensitively too
+                tail = source_part[close + 1 :].strip()
+                if tail[:3].upper() == "AS " or tail[:3].upper() == "AS\t":
+                    tail = tail[3:].strip()
+                src_alias = tail or None
             else:
                 toks = source_part.split()
                 src_text = toks[0]

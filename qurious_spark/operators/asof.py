@@ -37,6 +37,13 @@ def asof_join(
     instant are visible to equal-time left rows in both directions; among
     equal-time right rows, backward picks the latest ``right_payload[0]``
     and forward the earliest.
+
+    The payload travels as ONE struct column and a single
+    ``last/first(ignorenulls)`` carries the whole struct, so every
+    ``asof_*`` column comes from the SAME matched right row — per-column
+    carries would skip a NULL payload cell to a different row's value,
+    diverging from pandas ``merge_asof`` (which returns the matched row's
+    NULL).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -44,21 +51,29 @@ def asof_join(
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
 
     lcols = [c for c in left.columns]
+    if not right_payload:
+        return left.filter(tolerance_expr) if tolerance_expr is not None else left
+
+    from pyspark.sql.types import StructField, StructType
+
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_payload]
+    )
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_right"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("__r"),
     )
-    tiebreak = F.col(f"__r_{right_payload[0]}") if right_payload else F.lit(0)
+    tiebreak = F.col("__r").getField(right_payload[0])
     if direction == "backward":
         # equal-time right rows sort BEFORE left so they are visible to the
         # running last() over the past frame
@@ -81,11 +96,10 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True).over(w)
-    combined = l.unionByName(r)
-    for c in right_payload:
-        combined = combined.withColumn(f"asof_{c}", pick(f"__r_{c}"))
+    combined = l.unionByName(r).withColumn("__asof", pick("__r"))
     out = combined.filter(F.col("__is_right") == 0).select(
-        *lcols, *[f"asof_{c}" for c in right_payload]
+        *lcols,
+        *[F.col("__asof").getField(c).alias(f"asof_{c}") for c in right_payload],
     )
     if tolerance_expr is not None:
         out = out.filter(tolerance_expr)

@@ -497,12 +497,18 @@ def incremental_near_dups(
         .join(c_ids, id_col)
         .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
     )
-    dup_side = sh_c.unionByName(sh_new)
+    # verify each candidate against the text of the SIDE it came from: a
+    # doc id present in both the corpus and the batch would otherwise join
+    # twice on dup_of (duplicating pairs) and 'corpus' candidates could
+    # verify against the batch copy's text
+    dup_side = sh_c.withColumn("origin", F.lit("corpus")).unionByName(
+        sh_new.withColumn("origin", F.lit("batch"))
+    )
     a = sh_new.withColumnsRenamed({"id": "new_id", "shs": "shs_n"})
     b = dup_side.withColumnsRenamed({"id": "dup_of", "shs": "shs_d"})
     return (
         cands.join(a, "new_id")
-        .join(b, "dup_of")
+        .join(b, ["dup_of", "origin"])
         .withColumn("inter", F.size(F.array_intersect("shs_n", "shs_d")))
         .withColumn(
             "jaccard",

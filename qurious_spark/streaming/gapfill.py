@@ -87,15 +87,23 @@ def locf_stream(
         else:
             m, version, evicted_below = {}, 0, None
         for pdf in pdfs:
-            # drop NULL values first: batch SUM ignores them, and a bucket
-            # with ONLY nulls must stay a gap (pandas would sum it to 0.0)
-            pdf = pdf[pdf[value_col].notna()]
             bk = _epoch_seconds(pdf[ts_col]) // step * step
-            for b, v in pdf[value_col].groupby(bk).sum().items():
+            # Presence and sums are tracked separately: ANY event (even a
+            # NULL-valued one) extends the spine — the batch resample's
+            # min/max is over all events — while the sum ignores NULLs, so
+            # a bucket with ONLY nulls stays a gap (m[b] is None) exactly
+            # like SUM(value) IS NULL in the oracle.
+            for b in bk.unique():
                 b = int(b)
                 if evicted_below is not None and b < evicted_below:
                     continue  # older than the eviction horizon: watermark-drop
-                m[b] = m.get(b, 0.0) + float(v)
+                m.setdefault(b, None)
+            nn = pdf[value_col].notna()
+            for b, v in pdf.loc[nn, value_col].groupby(bk[nn]).sum().items():
+                b = int(b)
+                if evicted_below is not None and b < evicted_below:
+                    continue
+                m[b] = (m[b] if m[b] is not None else 0.0) + float(v)
         if not m:
             return
         if len(m) > max_buckets:  # evict oldest observed buckets
@@ -108,13 +116,17 @@ def locf_stream(
         out_b, out_v, out_obs = [], [], []
         last = None
         for b in range(bs[0], bs[-1] + step, step):
-            if b in m:
-                last = m[b]
+            v = m.get(b)
+            if v is not None:
+                last = v
                 out_obs.append(True)
             else:
+                # absent bucket OR NULL-only bucket: a gap for fill purposes
                 out_obs.append(False)
             out_b.append(b)
-            out_v.append(round(last, 4))
+            # head gaps before the first observation stay NULL, like the
+            # oracle's LAST_VALUE IGNORE NULLS over an all-NULL prefix
+            out_v.append(None if last is None else round(last, 4))
         yield pd.DataFrame(
             {
                 "key": k,

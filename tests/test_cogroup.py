@@ -96,6 +96,28 @@ def test_forward_direction_matches_pandas_reference(spark, clicks_purchases):
     assert jvm != back
 
 
+def test_asof_null_payload_cells_come_from_matched_row(spark):
+    """A NULL cell inside the matched right row's payload must surface as
+    NULL — not get skipped to an OLDER row's value (the struct-packed carry
+    guarantees all asof_ columns come from the same right row, matching
+    merge_asof)."""
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, "a", 100), (1, 15, "b", None)],
+        "k int, t int, tag string, amount int",
+    )
+    got = {
+        r.t: (r.asof_tag, r.asof_amount)
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_payload=["tag", "amount"],
+        ).collect()
+    }
+    # t=20 matches the t=15 right row, whose amount is NULL: a per-column
+    # ignorenulls carry would have stitched amount=100 from the t=5 row
+    assert got == {10: ("a", 100), 20: ("b", None)}
+
+
 def test_asof_bad_direction_rejected(spark, clicks_purchases):
     clicks, purchases = clicks_purchases
     with pytest.raises(ValueError, match="direction"):

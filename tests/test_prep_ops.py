@@ -176,3 +176,29 @@ def test_incremental_near_dups_matches_full_batch(spark):
         if r.id_b * 2 > mid  # pairs whose higher id is a "new" doc
     }
     assert inc == full and inc
+
+
+def test_incremental_near_dups_overlapping_ids_no_duplicate_pairs(spark):
+    """An id present in BOTH the corpus and the new batch must not double
+    the verified pairs: each candidate verifies against the text of the
+    side it came from (origin-keyed verify join)."""
+    from qurious_spark.operators.dedup import incremental_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "a completely different corpus document about spark engines")],
+        "doc_id long, text string",
+    )
+    # id 1 appears in the batch too, with the same text (re-ingested doc)
+    new = spark.createDataFrame(
+        [(1, base), (10, base + " tail"), (11, "unrelated short text entirely")],
+        "doc_id long, text string",
+    )
+    rows = incremental_near_dups(new, corpus, threshold=0.5).collect()
+    pairs = [(r.new_id, r.dup_of, r.origin) for r in rows]
+    assert len(pairs) == len(set(pairs)), f"duplicated verified pairs: {pairs}"
+    by_origin = {(n, d): o for n, d, o in pairs}
+    # the re-ingested doc duplicates its own corpus copy
+    assert by_origin.get((1, 1)) == "corpus"
+    # near-dup of corpus doc 1 and of batch doc 1
+    assert by_origin.get((10, 1)) in ("corpus", "batch")

@@ -35,7 +35,7 @@ def test_query_matches_oracle(name, registry, spark, duck):
     from check_correctness import compare
 
     df = registry.REGISTRY[name](spark, "/root/testdata/sf0.001")
-    problems = compare(name, df, duck, registry.ORACLES[name])
+    problems, _oracle_rows = compare(name, df, duck, registry.ORACLES[name])
     assert not problems, problems
 
 

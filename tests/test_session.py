@@ -410,6 +410,18 @@ def test_update_from_subquery_source_and_expression(fresh):
     assert rows == {1: 10, 2: 27}
 
 
+def test_update_from_subquery_lowercase_as_alias(fresh):
+    # the UPDATE regex is case-insensitive, so a lowercase 'as' before the
+    # subquery alias must parse too (used to leave src_alias = 'as u')
+    fresh.sql("CREATE TABLE uf4_t (k BIGINT, v BIGINT)")
+    fresh.sql("INSERT INTO uf4_t VALUES (1, 10), (2, 20)")
+    fresh.sql("CREATE TABLE uf4_s (k BIGINT, d BIGINT)")
+    fresh.sql("INSERT INTO uf4_s VALUES (2, 7)")
+    fresh.sql("UPDATE uf4_t SET v = v + u.d FROM (SELECT k, d FROM uf4_s) as u WHERE uf4_t.k = u.k")
+    rows = {r.k: r.v for r in fresh.sql("SELECT k, v FROM uf4_t").collect()}
+    assert rows == {1: 10, 2: 27}
+
+
 def test_update_from_multi_match_rejected(fresh):
     import pytest as _pytest
 

@@ -286,13 +286,17 @@ def test_locf_stream_matches_batch_resample(spark, events_stream):
                 "v_sum",
                 F.sum("value"),
             ),
-            ("n", F.count("*")),
+            # unfilled twin of v_sum: the operator's `observed` contract is
+            # SUM(value) IS NOT NULL (a NULL-only bucket is a gap), NOT
+            # row-presence — same definition as the events_stream_gapfill
+            # oracle
+            ("v_raw", F.sum("value")),
         ],
         fill="ffill",
         fill_cols=["v_sum"],
     ).collect()
     want = {
-        (r.event_type, r.bucket): (r.v_sum, r.n is not None) for r in batch
+        (r.event_type, r.bucket): (r.v_sum, r.v_raw is not None) for r in batch
     }
     assert set(latest) == set(want)
     for k, ((v, obs), _ver) in latest.items():
@@ -402,3 +406,41 @@ def test_locf_stream_null_values_stay_gaps(spark, tmp_path):
     assert got[b0] == (7.0, True)
     assert got[b0 + 3600] == (7.0, False)  # NULL-only bucket: gap, carried
     assert got[b0 + 7200] == (3.0, True)
+
+
+def test_locf_stream_null_only_boundary_buckets_extend_spine(spark, tmp_path):
+    """NULL-only buckets at the series HEAD and TAIL must still extend the
+    spine (the batch resample's min/max is over all events, not just
+    non-NULL ones) while staying gaps; the head gap fills to NULL like the
+    oracle's LAST_VALUE IGNORE NULLS over an all-NULL prefix."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from qurious_spark.streaming import locf_stream
+    from qurious_spark.streaming.events import run_to_memory
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(ts=base, event_type="x", value=None),  # head: NULL-only bucket
+        Row(ts=base + dt.timedelta(hours=1), event_type="x", value=5.0),
+        # hour 2 has no events at all (plain gap)
+        Row(ts=base + dt.timedelta(hours=3), event_type="x", value=None),  # tail
+    ]
+    d = str(tmp_path / "null_bounds")
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double").write.parquet(d)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double").parquet(d)
+    )
+    got = {
+        r.bucket: (r.v_filled, r.observed)
+        for r in run_to_memory(
+            locf_stream(stream, step_seconds=3600), "t_locf_bounds", output_mode="update"
+        ).collect()
+    }
+    b0 = int(base.timestamp())
+    assert set(got) == {b0, b0 + 3600, b0 + 7200, b0 + 10800}
+    assert got[b0] == (None, False)  # head NULL-only: in spine, unfilled
+    assert got[b0 + 3600] == (5.0, True)
+    assert got[b0 + 7200] == (5.0, False)
+    assert got[b0 + 10800] == (5.0, False)  # tail NULL-only: spine extends

@@ -146,7 +146,7 @@ def compare(name, spark_df, con, sql):
                 f"{len(mismatches)}/{len(s_rows)} rows differ; first at sorted-row {i}:\n"
                 f"    spark: {a}\n    duck : {b}"
             )
-    return problems
+    return problems, len(duck_rows)
 
 
 def main():
@@ -177,10 +177,12 @@ def main():
                 print(f"ROWSONLY {name}: {cnt} rows ({time.time()-t0:.1f}s)")
                 n_rows_only += 1
                 continue
-            problems = compare(name, df, con, oracles[name])
+            problems, oracle_rows = compare(name, df, con, oracles[name])
             # a 0-row agreement proves nothing (the tpch_q9/left-anti
             # lesson): surface it so vacuous greens get fixed, not trusted
-            if not problems and not con.sql(oracles[name]).fetchone():
+            # (row count comes back from compare() — re-running the oracle
+            # SQL here would double every passing query's oracle runtime)
+            if not problems and oracle_rows == 0:
                 vacuous.append(name)
         except Exception as e:
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
