@@ -81,20 +81,38 @@ def brute_force_topk(
     )
 
 
+# cosine_pairs refuses inputs above this size unless the caller raises the
+# cap explicitly — at 100k rows the cross join already scores 5e9 pairs.
+COSINE_PAIRS_MAX_ROWS = 100_000
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_rows: int = COSINE_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup detection).
 
     O(N^2) — exactness baseline for correctness checking; use
-    ``ivf_topk``/LSH bucketing at corpus scale. ``dim`` unrolls the
-    folds into codegen and hoists norms out of the cross join.
+    ``semdedup``/``srp_lsh``/``ivf_topk`` at corpus scale. ``dim`` unrolls
+    the folds into codegen and hoists norms out of the cross join.
+
+    Guard: raises ``ValueError`` when the input exceeds ``max_rows`` so no
+    pipeline silently plans an O(N^2) cross join at corpus scale (the probe
+    is a ``limit(max_rows+1).count()`` — bounded, never a full scan).
     """
     src = df if dim is not None else with_double_vec(df, vec_col)
+    probed = src.limit(max_rows + 1).count()
+    if probed > max_rows:
+        raise ValueError(
+            f"cosine_pairs is an O(N^2) exact baseline and the input exceeds "
+            f"max_rows={max_rows}; use semdedup/srp_lsh/ivf_topk for "
+            f"corpus-scale near-dup detection, or pass max_rows explicitly "
+            f"to accept the quadratic cost"
+        )
     a = src.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

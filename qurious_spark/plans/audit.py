@@ -30,8 +30,11 @@ from qurious_spark.plans.inspect import _executed_plan, plan_facts, scan_columns
 ALLOW_NON_EQUI = {
     "cross_join",
     "join_non_equi",
-    "embedding_cosine_pairs",  # all-pairs similarity is a deliberate cross join at bounded n
-    "embedding_dup_clusters",  # fed by the same all-pairs cosine emitter
+    # all-pairs similarity is a deliberate cross join at bounded n —
+    # cosine_pairs raises above COSINE_PAIRS_MAX_ROWS (100k) so the O(N^2)
+    # plan cannot be reached at corpus scale without an explicit opt-in
+    "embedding_cosine_pairs",
+    "embedding_dup_clusters",  # fed by the same guarded all-pairs emitter
     "ann_topk_bruteforce",  # query-point x corpus scoring
     "ann_ivf_topk",  # recall invariant embeds a brute-force exact reference
     "ann_pq_topk",  # same: exact top-10 reference ranking inside the entry

@@ -181,7 +181,22 @@ def _tokens_match(exp: str, act: str) -> bool:
         return False
     if math.isnan(fe) or math.isnan(fa):
         return math.isnan(fe) and math.isnan(fa)
-    return math.isclose(fe, fa, rel_tol=1e-6, abs_tol=1e-9)
+    if math.isclose(fe, fa, rel_tol=1e-6, abs_tol=1e-9):
+        return True
+    # Values printed at different precisions still match if they agree to
+    # the COARSER printed precision (>= 4 decimals, so integers/coarse
+    # tokens never get this leniency): e.g. Spark's decimal(19,6) AVG
+    # renders 0.050292 where DuckDB's double AVG renders 0.05029209798...,
+    # a relative gap > 1e-6 at small magnitudes. 1.5 ulp of the printed
+    # digit absorbs the engines' differing round-half rules.
+    k = min(_dec_places(exp), _dec_places(act))
+    return k >= 4 and abs(fe - fa) <= 1.5 * 10.0 ** -k
+
+
+def _dec_places(tok: str) -> int:
+    if "e" in tok.lower() or "." not in tok:
+        return 0
+    return len(tok.split(".", 1)[1])
 
 
 def _rows_match(expected: list[list[str]], actual: list[list[str]]) -> bool:
@@ -212,8 +227,20 @@ def _is_top_level_ordered(sql: str) -> bool:
         pos = abs_i + len("ORDER")
 
 
-def _compare(rec: Record, actual: list[list[str]]) -> str | None:
-    expected = [line.split() for line in rec.expected]
+def _compare(
+    rec: Record,
+    actual: list[list[str]],
+    expected_cells: list[list[str]] | None = None,
+) -> str | None:
+    """Compare actual rows to the record's golden block — or, when
+    ``expected_cells`` is given (oracle mode), to pre-rendered cell rows
+    compared cell-wise (no whitespace tokenization, so multi-word strings
+    like 'UNITED KINGDOM' compare as one cell)."""
+    expected = (
+        expected_cells
+        if expected_cells is not None
+        else [line.split() for line in rec.expected]
+    )
     ordered = rec.sort_mode != "rowsort" and _is_top_level_ordered(rec.sql)
     if not ordered:
         expected = sorted(expected, key=lambda r: [str(c) for c in r])
@@ -233,15 +260,30 @@ class SltResult:
     total: int = 0
     passed: int = 0
     failures: list[str] = field(default_factory=list)
+    # oracle mode only: loc -> oracle row count per query record, so callers
+    # can assert non-vacuity (a 0-row agreement proves nothing)
+    oracle_rows: dict[str, int] = field(default_factory=dict)
 
     @property
     def ok(self) -> bool:
         return not self.failures
 
 
-def run_slt_file(path: str, spark=None) -> SltResult:
+def run_slt_file(path: str, spark=None, sql_rewrite=None, oracle=None) -> SltResult:
     """Run one slt file against a fresh Session (the reference harness also
-    gives each file its own session, sqllogictests.rs:31-33)."""
+    gives each file its own session, sqllogictests.rs:31-33).
+
+    ``sql_rewrite``: optional ``str -> str`` applied to every record's SQL
+    before execution — used to redirect the reference tpch corpus's
+    ``./tests/tpch/data/*.tbl`` COPY paths to generated files.
+
+    ``oracle``: optional DuckDB connection pre-loaded with the same data.
+    When given, each non-error query's expected block is RECOMPUTED by the
+    oracle (cell-wise compare) instead of read from the inline golden —
+    needed for the reference tpch files, whose goldens encode dbgen data
+    that ships with neither repo (testing/tpch_data.py builds both sides
+    from the driver testdata instead).
+    """
     from qurious_spark.session import Session
 
     session = Session(spark)
@@ -254,10 +296,19 @@ def run_slt_file(path: str, spark=None) -> SltResult:
     for rec in parse_slt_file(path):
         result.total += 1
         err: str | None = None
+        sql = sql_rewrite(rec.sql) if sql_rewrite else rec.sql
         try:
-            df = session.sql(rec.sql)
+            df = session.sql(sql)
             if rec.kind == "query" and not rec.expect_error:
-                err = _compare(rec, _render_rows(df))
+                if oracle is not None:
+                    expected_cells = [
+                        [render_cell(v) for v in row]
+                        for row in oracle.sql(sql).fetchall()
+                    ]
+                    result.oracle_rows[rec.loc] = len(expected_cells)
+                    err = _compare(rec, _render_rows(df), expected_cells)
+                else:
+                    err = _compare(rec, _render_rows(df))
             elif rec.expect_error:
                 df.collect()  # force runtime errors (e.g. ANSI divide-by-zero)
                 err = "expected an error, statement succeeded"

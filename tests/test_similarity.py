@@ -89,3 +89,16 @@ def test_pq_codes_compress(spark, embeddings):
     assert len(cb) <= 64 and len(cb) >= 16
     assert all(len(r.centroid) == 8 for r in cb)
     assert len({(r.s, r.code) for r in cb}) == len(cb)
+
+
+def test_cosine_pairs_guard_refuses_oversized_input(spark, embeddings):
+    import pytest as _pytest
+
+    from qurious_spark.operators.similarity import cosine_pairs
+
+    with _pytest.raises(ValueError, match="O\\(N\\^2\\)"):
+        cosine_pairs(embeddings, threshold=0.9, max_rows=5)
+    # explicit opt-in above the default still works on bounded data
+    small = embeddings.limit(20)
+    rows = cosine_pairs(small, threshold=-1.0, max_rows=25).collect()
+    assert len(rows) == 20 * 19 // 2

@@ -44,16 +44,33 @@ def test_project_slt_file(spark, slt_path):
     assert result.ok, "\n".join(result.failures)
 
 
-@pytest.mark.skipif(
-    os.environ.get("INCLUDE_TPCH", "").lower() != "true"
-    or not os.path.exists(
-        os.path.join(REFERENCE_SQL_DIR, "..", "tpch", "data", "lineitem.tbl")
-    ),
-    reason="TPC-H slt needs INCLUDE_TPCH=true + dbgen .tbl data (reference Makefile:23-36)",
-)
-def test_reference_tpch_slt(spark):
-    result = run_slt_file(os.path.join(REFERENCE_SQL_DIR, "tpch.slt"), spark)
+@pytest.mark.skipif(not _files, reason="reference slt corpus not available")
+def test_reference_tpch_slt(spark, tmp_path_factory):
+    """The reference's gated TPC-H slt pipeline (create_tables -> COPY ->
+    q1-q12 -> drop_tables), end-to-end. The dbgen ``.tbl`` data the corpus
+    expects ships with neither repo (reference Makefile:23-36 builds it via
+    docker), so testing/tpch_data.py derives equivalent files from the
+    driver testdata — remapped into dbgen's value domains so every
+    reference predicate selects rows — and a DuckDB connection loaded from
+    the SAME files recomputes each query's expected block (the inline
+    goldens encode unreproducible dbgen output)."""
+    from qurious_spark.testing.tpch_data import generate, load_duckdb
+
+    tbl_dir = generate(
+        "/root/testdata/sf0.01", str(tmp_path_factory.mktemp("tpch_tbl"))
+    )
+    oracle = load_duckdb(tbl_dir)
+    result = run_slt_file(
+        os.path.join(REFERENCE_SQL_DIR, "tpch.slt"),
+        spark,
+        sql_rewrite=lambda s: s.replace("./tests/tpch/data/", tbl_dir + "/"),
+        oracle=oracle,
+    )
     assert result.ok, "\n".join(result.failures)
+    # all 12 reference queries ran and none was vacuous on the remapped data
+    assert len(result.oracle_rows) == 12, sorted(result.oracle_rows)
+    empty = [loc for loc, n in result.oracle_rows.items() if n == 0]
+    assert not empty, f"vacuous reference queries: {empty}"
 
 
 def test_slt_parser_shapes(tmp_path):

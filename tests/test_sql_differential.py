@@ -247,6 +247,78 @@ def test_engine_matches_duckdb_on_setops_and_windows(session, duck, sql):
     _assert_match(session, duck, sql)
 
 
+@st.composite
+def _grouping_sets_query(draw) -> str:
+    """ROLLUP / CUBE / GROUPING SETS over integer keys: the multi-grouping
+    surface (§2.4) composed with random predicates and HAVING. Non-grouped
+    keys render NULL in their subtotal rows on both engines; GROUPING()
+    disambiguates a real NULL key from a subtotal marker."""
+    pred = draw(_predicate())
+    m = draw(st.integers(2, 7))
+    k1, k2 = "c_nationkey", f"(c_custkey % {m})"
+    form = draw(
+        st.sampled_from(
+            [
+                f"ROLLUP ({k1}, {k2})",
+                f"CUBE ({k1}, {k2})",
+                f"GROUPING SETS (({k1}), ({k2}), ())",
+                f"GROUPING SETS (({k1}, {k2}), ({k1}), ())",
+            ]
+        )
+    )
+    aggs = draw(
+        st.sampled_from(
+            [
+                "COUNT(*) AS n",
+                "COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s",
+                "CAST(MIN(c_custkey) AS BIGINT) AS mn, CAST(MAX(c_custkey) AS BIGINT) AS mx",
+            ]
+        )
+    )
+    marker = (
+        f", CAST(GROUPING({k1}) AS BIGINT) AS g_k1" if draw(st.booleans()) else ""
+    )
+    having = (
+        f" HAVING COUNT(*) > {draw(st.integers(0, 3))}" if draw(st.booleans()) else ""
+    )
+    # keep the input non-empty: over an EMPTY relation the SQL standard
+    # (and DuckDB) still emit the ()-grouping-set grand-total row, but
+    # Spark's Expand-based implementation emits nothing — a known, pinned
+    # deviation (test_grouping_sets_empty_input_deviation_is_pinned), not a
+    # planner bug this fuzzer should rediscover on every always-false
+    # predicate.
+    pred = f"(({pred}) OR c_custkey = 0)"
+    return (
+        f"SELECT {k1} AS g1, {k2} AS g2, {aggs}{marker} FROM customer"
+        f" WHERE {pred} GROUP BY {form}{having}"
+    )
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_grouping_sets_query())
+def test_engine_matches_duckdb_on_grouping_sets(session, duck, sql):
+    _assert_match(session, duck, sql)
+
+
+def test_grouping_sets_empty_input_deviation_is_pinned(session, duck):
+    """Known engine deviation, found by the grouping-sets fuzzer: over an
+    EMPTY input the SQL standard (and DuckDB) emit one grand-total row for
+    the empty grouping set () — COUNT(*) = 0 — while Spark's Expand-based
+    rollup produces 0 output rows from 0 input rows. Pinned so a future
+    Spark version closing the gap (or a regression widening it) surfaces
+    here instead of as fuzzer noise."""
+    sql = (
+        "SELECT c_nationkey AS g1, COUNT(*) AS n FROM customer"
+        " WHERE c_custkey < 0 GROUP BY ROLLUP (c_nationkey)"
+    )
+    assert session.sql(sql).count() == 0  # Spark: no grand-total row
+    assert duck.execute(sql).fetchall() == [(None, 0)]  # standard behavior
+
+
 # string-typed columns + engine-neutral string algebra (no negative SUBSTR
 # starts, no engine-specific functions — any mismatch is a real bug)
 _STR_COLS = ["c_name", "c_mktsegment"]
