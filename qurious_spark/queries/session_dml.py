@@ -260,3 +260,84 @@ def dml_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return s.sql("SELECT k, name, v FROM updf_t")
+
+
+@df_query(
+    "dml_scd2_dimension",
+    # The oracle restates the SCD2 merge as set algebra over the same
+    # derived dim/updates: history passthrough, unchanged current rows,
+    # closed versions of changed rows, new open versions. Null-safe change
+    # detection (IS NOT DISTINCT FROM) mirrors the operator's <=>.
+    """
+    WITH dim AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(c_nationkey AS BIGINT) AS nk
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey AS k, 'PROMO' AS seg,
+               CAST(c_nationkey AS BIGINT) AS nk
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG', CAST(0 AS BIGINT)
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    changed AS (
+        SELECT d.k FROM dim d JOIN upd u ON d.k = u.k
+        WHERE NOT (d.seg IS NOT DISTINCT FROM u.seg
+                   AND d.nk IS NOT DISTINCT FROM u.nk)
+    )
+    SELECT d.k, d.seg, d.nk,
+           DATE '2020-01-01' AS vfrom, CAST(NULL AS DATE) AS vto,
+           TRUE AS is_current
+    FROM dim d WHERE d.k NOT IN (SELECT k FROM changed)
+    UNION ALL
+    SELECT d.k, d.seg, d.nk,
+           DATE '2020-01-01', DATE '2024-06-01', FALSE
+    FROM dim d WHERE d.k IN (SELECT k FROM changed)
+    UNION ALL
+    SELECT u.k, u.seg, u.nk,
+           DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+    FROM upd u
+    WHERE u.k IN (SELECT k FROM changed)
+       OR u.k NOT IN (SELECT k FROM dim)
+    """,
+)
+def dml_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (operators/scd.py) on the hard
+    signal: customer becomes the open-version dim, a derived update batch
+    flips every 7th key's segment to PROMO and introduces new keys; the
+    operator closes changed versions and opens new ones in one set-based
+    pass. Beyond the reference's flat INSERT/DELETE DML (UPDATE is refused
+    upstream, session.rs:130-134) — the warehouse-history surface on top."""
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.scd import scd2_merge
+
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        F.to_timestamp(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("PROMO").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("k"),
+            F.lit("NEWSEG").alias("seg"),
+            F.lit(0).cast("bigint").alias("nk"),
+        )
+    )
+    out = scd2_merge(dim, updates, "k", ["seg", "nk"], "2024-06-01")
+    return out.select(
+        "k", "seg", "nk",
+        F.col("valid_from").cast("date").alias("vfrom"),
+        F.col("valid_to").cast("date").alias("vto"),
+        "is_current",
+    )
