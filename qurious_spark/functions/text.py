@@ -251,3 +251,77 @@ def winnow_fingerprint_pairs(
         .select(F.col(id_col), F.col("__wm").alias("fingerprint"))
         .distinct()
     )
+
+
+def duplicated_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 60,
+    cross_doc_only: bool = False,
+):
+    """Exact duplicated-substring spans (the Lee et al. 2022 "Deduplicating
+    Training Data" shape): every maximal character range of the normalized
+    text whose ``min_len``-grams also occur elsewhere in the corpus.
+
+    Suffix arrays don't distribute; the equivalent Spark-first pipeline is:
+    hash EVERY ``min_len``-gram position (posexplode positions + substring —
+    each gram hashed once, the winnow_fingerprint_pairs anti-recompute
+    pattern), keep hashes occurring >= 2 times (``cross_doc_only`` demands
+    two distinct documents, else within-doc repetition counts too), and
+    merge the surviving fixed-length windows into maximal spans with a
+    per-document lag window (linear per doc, keys spread across executors).
+    Any duplicated substring of length >= min_len is covered by at least one
+    surviving gram window, so the merged spans are exactly the maximal
+    duplicated ranges at gram resolution. Hashes are 60-bit md5 prefixes —
+    collision odds ~2^-60 per pair; exact-match verification of spans can be
+    layered on for adversarial corpora.
+
+    Returns (id_col, span_start, span_end): 1-based char offsets into the
+    NORMALIZED text, end exclusive.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    base = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__s")).filter(
+        F.length("__s") >= L
+    )
+    ex = base.select(
+        F.col(id_col),
+        "__s",
+        F.explode(F.sequence(F.lit(1), F.length("__s") - L + 1)).alias("__pos"),
+    )
+    h = ex.select(
+        F.col(id_col),
+        F.col("__pos"),
+        _md5_int(F.substring(F.col("__s"), F.col("__pos"), L)).alias("__h"),
+    )
+    agg = [F.count("*").alias("__n")]
+    if cross_doc_only:
+        agg.append(F.count_distinct(F.col(id_col)).alias("__nd"))
+    freq = h.groupBy("__h").agg(*agg)
+    dup = freq.filter(
+        (F.col("__nd") >= 2) if cross_doc_only else (F.col("__n") >= 2)
+    ).select("__h")
+    pos_dup = h.join(dup, "__h").select(F.col(id_col), F.col("__pos"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    grouped = (
+        pos_dup.withColumn("__prev", F.lag("__pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__pos") > F.col("__prev") + L),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__gid",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return grouped.groupBy(id_col, "__gid").agg(
+        F.min("__pos").cast("bigint").alias("span_start"),
+        (F.max("__pos") + L).cast("bigint").alias("span_end"),
+    ).select(id_col, "span_start", "span_end")

@@ -223,7 +223,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # text_chunk_documents, pipeline_split_train, sample_stratified_hash,
 # sketch_bitmap_distinct — swap for never-checked entries such as
 # pipeline_psi_drift, pipeline_quality_checks, pipeline_profile,
-# events_stream_tumbling, dedup_ngram_jaccard re-checks.
+# events_stream_tumbling, dedup_ngram_jaccard re-checks, and the round-5
+# additions dml_scd2_dimension (SCD2 merge) and text_duplicate_spans
+# (exact substring dedup), both local-gate green since registration.
 
 
 def ordered_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

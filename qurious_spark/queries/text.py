@@ -570,3 +570,57 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared"))
         .filter(F.col("shared") >= 20)
     )
+
+
+@df_query(
+    "text_duplicate_spans",
+    # Same pipeline in DuckDB: hash every 60-gram position of the normalized
+    # text, keep hashes occurring >= 2 times, merge surviving windows into
+    # maximal spans with a lag window. Reuses the md5->bigint mapping proven
+    # in sync by the winnowing entries.
+    f"""
+    WITH nrm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, s,
+               unnest(range(1, len(s) - 60 + 2)) AS pos
+        FROM nrm WHERE len(s) >= 60
+    ),
+    h AS (
+        SELECT doc_id, pos,
+               ((strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(substr(s, pos, 60)), 15, 1)) - 1) * 1) AS hv
+        FROM g
+    ),
+    dup AS (SELECT hv FROM h GROUP BY hv HAVING count(*) >= 2),
+    p AS (SELECT h.doc_id, h.pos FROM h JOIN dup USING (hv)),
+    m AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 60 THEN 1 ELSE 0 END AS brk
+        FROM p
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 60 AS BIGINT) AS span_end
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (functions/text.py duplicated_spans,
+    the Lee et al. 2022 exact complement to the winnowing sketch): maximal
+    normalized-text ranges whose 60-grams occur >= 2 times in the corpus.
+    Every gram is hashed once (posexplode pattern); span merging is a
+    per-document lag window."""
+    from qurious_spark.functions.text import duplicated_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, min_len=60)

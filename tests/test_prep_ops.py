@@ -202,3 +202,55 @@ def test_incremental_near_dups_overlapping_ids_no_duplicate_pairs(spark):
     assert by_origin.get((1, 1)) == "corpus"
     # near-dup of corpus doc 1 and of batch doc 1
     assert by_origin.get((10, 1)) in ("corpus", "batch")
+
+
+def test_duplicated_spans_finds_shared_and_repeated_substrings(spark):
+    from qurious_spark.functions.text import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog while the band plays on"
+    rep = "abcdefghij klmnopqrst uvwxyz0123 456789abcd efghijklmn"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} BBB"),
+            (2, f"CCCCC {shared} DDDDD"),
+            (3, f"{rep} ---- {rep}"),  # within-doc repetition
+            (4, "tiny"),  # below min_len: no grams, no spans
+            (5, "completely unrelated text that appears exactly once here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, min_len=40).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # docs 1 and 2 share `shared` (len 68 > 40): each gets exactly one span
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    (s1, e1), (s2, e2) = by_doc[1][0], by_doc[2][0]
+    assert e1 - s1 >= len(shared) and e2 - s2 >= len(shared)
+    # doc 3's internal repetition is caught without any cross-doc partner
+    assert 3 in by_doc
+    # no false positives
+    assert 4 not in by_doc and 5 not in by_doc
+
+    # cross_doc_only drops the within-doc-only repetition
+    cross = duplicated_spans(docs, min_len=40, cross_doc_only=True).collect()
+    assert {r.doc_id for r in cross} == {1, 2}
+
+
+def test_duplicated_spans_offsets_slice_to_identical_text(spark):
+    from qurious_spark.functions.text import duplicated_spans, normalize
+    from pyspark.sql import functions as F
+
+    shared = "zero one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [(1, f"xx {shared} yy"), (2, f"qqqq {shared} rrrr")],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: r for r in duplicated_spans(docs, min_len=30).collect()}
+    norm = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", normalize(F.col("text")).alias("s")).collect()
+    }
+    cut = lambda d: norm[d][spans[d].span_start - 1 : spans[d].span_end - 1]
+    assert shared in cut(1) and shared in cut(2)
+    assert cut(1) == cut(2)  # maximal spans of the same shared run agree
