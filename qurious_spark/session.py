@@ -298,6 +298,23 @@ class Session:
         self.tables[key] = mt
         mt.df.createOrReplaceTempView(key)
 
+    def _explain(self, inner_sql: str, mode: str) -> DataFrame:
+        """``EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <query>`` — one row
+        per plan line. Beyond the reference (which exposes no EXPLAIN);
+        the query goes through the full dialect shim first, so table
+        functions / interval folding / managed tables are planned exactly
+        as they would execute."""
+        df = self.sql(inner_sql)
+        try:
+            jvm = self.spark._jvm
+            plan = jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), mode
+            )
+        except Exception:  # pragma: no cover — fallback across Spark minors
+            plan = df._jdf.queryExecution().toString()
+        rows = [(line,) for line in plan.rstrip("\n").split("\n")]
+        return self.spark.createDataFrame(rows, "plan_line string")
+
     def _drop_table(self, name: str, if_exists: bool) -> None:
         key = self._normalize_name(name)
         if key not in self.tables:
@@ -315,6 +332,13 @@ class Session:
         stmt = parse_ddl_dml(text)
         if stmt is not None:
             return self._execute_ddl_dml(stmt)
+        m = re.match(
+            r"^\s*EXPLAIN\s+(?:(FORMATTED|EXTENDED|CODEGEN|COST)\s+)?(.+)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._explain(m.group(2), (m.group(1) or "formatted").lower())
         rewritten = fold_interval_quantity(rewrite_table_functions(self, text))
         if rewritten.strip().upper().startswith("SHOW TABLES"):
             return self._show_tables()

@@ -431,3 +431,25 @@ def test_update_from_multi_match_rejected(fresh):
     fresh.sql("INSERT INTO uf3_s VALUES (1, 100), (1, 200)")
     with _pytest.raises(ValueError, match="more than one source row"):
         fresh.sql("UPDATE uf3_t SET v = uf3_s.nv FROM uf3_s WHERE uf3_t.k = uf3_s.k")
+
+
+def test_explain_statement_returns_plan_lines(fresh):
+    fresh.sql("CREATE TABLE exp_t (k BIGINT, v VARCHAR)")
+    fresh.sql("INSERT INTO exp_t VALUES (1, 'a'), (2, 'b')")
+    plan = "\n".join(
+        r.plan_line
+        for r in fresh.sql("EXPLAIN SELECT k, count(*) AS n FROM exp_t GROUP BY k").collect()
+    )
+    assert "Physical Plan" in plan and "HashAggregate" in plan
+    ext = "\n".join(
+        r.plan_line for r in fresh.sql("EXPLAIN EXTENDED SELECT * FROM exp_t").collect()
+    )
+    assert "Analyzed Logical Plan" in ext
+    # the inner query goes through the dialect shim: table functions work
+    import os, tempfile
+    out = os.path.join(tempfile.mkdtemp(prefix="q_explain_"), "c")
+    fresh.sql(f"COPY exp_t TO '{out}' (FORMAT CSV, HEADER)")
+    p2 = "\n".join(
+        r.plan_line for r in fresh.sql(f"EXPLAIN SELECT * FROM read_csv('{out}')").collect()
+    )
+    assert "Scan csv" in p2 or "FileScan" in p2 or "Scan" in p2
