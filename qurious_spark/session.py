@@ -199,6 +199,22 @@ class ManagedTable:
             self.df = self.df.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         self._bump()
 
+    def replace_df(self, source: DataFrame) -> None:
+        """Replace the table's contents wholesale (a versioned mutation like
+        any other — time travel keeps the prior snapshot). Used by set-based
+        rewrites such as the streaming SCD2 sink, where the new state is a
+        full recomputation rather than a row-level patch."""
+        target_schema = self.df.schema
+        missing = [f.name for f in target_schema if f.name not in source.columns]
+        if missing:
+            raise ValueError(f"replace_df source lacks columns: {missing}")
+        aligned = source.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema]
+        )
+        self._check_notnull(aligned, "REPLACE")
+        self.df = aligned
+        self._bump()
+
     def update_set(self, assignments: dict[str, str], predicate: str | None) -> None:
         cond = F.expr(predicate) if predicate else F.lit(True)
         exprs = []
@@ -297,6 +313,13 @@ class Session:
         key = self._normalize_name(name)
         self.tables[key] = mt
         mt.df.createOrReplaceTempView(key)
+
+    def replace_table_data(self, name: str, df: DataFrame) -> None:
+        """Replace a managed table's contents with ``df`` (versioned — the
+        prior state stays reachable via time travel)."""
+        mt = self._get_managed(name)
+        mt.replace_df(df)
+        self._put_table(mt.name, mt)
 
     def _explain(self, inner_sql: str, mode: str) -> DataFrame:
         """``EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <query>`` — one row

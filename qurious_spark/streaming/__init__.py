@@ -14,6 +14,7 @@ semantics; tests drive the streams with availableNow triggers.
 """
 
 from qurious_spark.streaming.gapfill import locf_stream
+from qurious_spark.streaming.scd import scd2_stream
 from qurious_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
@@ -26,6 +27,7 @@ from qurious_spark.streaming.events import (
 
 __all__ = [
     "locf_stream",
+    "scd2_stream",
     "read_events_stream",
     "run_to_memory",
     "sliding_counts",

@@ -1,0 +1,72 @@
+"""Streaming SCD2: maintain a versioned dimension table from an update
+stream.
+
+The streaming face of ``operators/scd.py``: each micro-batch of dimension
+updates is applied to a managed SCD2 table with one set-based
+``scd2_merge`` pass — changed keys get their open version closed and a new
+version inserted, effective at the batch's own event time. State lives in
+the table (queryable at every point, point-in-time snapshots via
+``scd2_snapshot``); the streaming query itself is stateless, so a restart
+resumes from the sink's checkpoint offsets like the incremental rollup.
+
+Within a micro-batch, multiple updates for one key are collapsed to the
+LATEST by event time (deterministic tiebreak on the attribute tuple) —
+SCD2 has no defined order for same-batch versions, the same rule the batch
+operator enforces by rejecting duplicate keys outright.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qurious_spark.operators.scd import scd2_merge
+
+
+def scd2_stream(
+    updates: DataFrame,
+    session,
+    table_name: str,
+    key_col: str,
+    attr_cols: Sequence[str],
+    ts_col: str,
+    checkpoint: str,
+) -> None:
+    """Drain ``updates`` (a streaming DataFrame carrying ``key_col``,
+    ``attr_cols`` and an event-time ``ts_col``) into the managed SCD2 table
+    ``table_name`` (schema: ``key, *attrs, valid_from, valid_to,
+    is_current``) with availableNow. Each batch's effective timestamp is
+    the batch's max ``ts_col`` — deterministic for a given batch split."""
+    attr_cols = list(attr_cols)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # latest update per key within the batch (ties: highest attr tuple)
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), *[F.col(c).desc_nulls_last() for c in attr_cols]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(key_col, *attr_cols)
+        )
+        batch_ts = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        # detach from the micro-batch's cloned session before mutating the
+        # managed table (same rule as streaming/rollup.py)
+        latest = latest.localCheckpoint(eager=True)
+        dim = session.table(table_name)
+        merged = scd2_merge(
+            dim, latest, key_col, attr_cols, str(batch_ts)
+        ).localCheckpoint(eager=True)
+        session.replace_table_data(table_name, merged)
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()

@@ -444,3 +444,83 @@ def test_locf_stream_null_only_boundary_buckets_extend_spine(spark, tmp_path):
     assert got[b0 + 3600] == (5.0, True)
     assert got[b0 + 7200] == (5.0, False)
     assert got[b0 + 10800] == (5.0, False)  # tail NULL-only: spine extends
+
+
+def test_scd2_stream_maintains_versioned_dimension(spark, tmp_path):
+    """Streaming SCD2: two sequential availableNow drains (two update
+    batches at different event times) must leave the managed dim equal to
+    applying the batches through the batch operator in order — closed
+    versions stamped with each batch's max event time, time travel intact."""
+    import datetime as dt
+
+    from qurious_spark.session import Session
+    from qurious_spark.streaming import scd2_stream
+
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS scd_dim")
+    s.sql(
+        "CREATE TABLE scd_dim (k BIGINT, seg VARCHAR, "
+        "valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN)"
+    )
+    s.sql(
+        "INSERT INTO scd_dim VALUES "
+        "(1, 'A', TIMESTAMP '2020-01-01', NULL, TRUE), "
+        "(2, 'B', TIMESTAMP '2020-01-01', NULL, TRUE)"
+    )
+    upd_dir = tmp_path / "upd"
+    upd_dir.mkdir()
+    schema = "k bigint, seg string, ts timestamp"
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(upd_dir))
+        scd2_stream(stream, s, "scd_dim", "k", ["seg"], "ts", ckpt)
+
+    def add_file(rows, name):
+        # the file source lists the top directory only: write each batch as
+        # one flat parquet file
+        import glob as g
+        import shutil
+
+        tmp = str(tmp_path / f"tmp_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        shutil.move(g.glob(tmp + "/part-*.parquet")[0], str(upd_dir / f"{name}.parquet"))
+
+    # batch 1: key 1 changes twice in-batch (latest wins), key 3 is new
+    add_file(
+        [
+            (1, "A1", dt.datetime(2024, 1, 1)),
+            (1, "A2", dt.datetime(2024, 1, 2)),
+            (3, "C", dt.datetime(2024, 1, 2)),
+        ],
+        "b1",
+    )
+    drain()
+    # batch 2 (same checkpoint -> only the new file): key 1 changes again,
+    # key 2 arrives unchanged
+    add_file(
+        [(1, "A3", dt.datetime(2024, 2, 1)), (2, "B", dt.datetime(2024, 2, 1))],
+        "b2",
+    )
+    drain()
+
+    rows = s.sql("SELECT * FROM scd_dim").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    k1 = sorted(by_key[1], key=lambda r: (r.valid_from, str(r.valid_to)))
+    assert [(r.seg, r.is_current) for r in k1] == [
+        ("A", False),
+        ("A2", False),  # in-batch latest of batch 1, closed by batch 2
+        ("A3", True),
+    ]
+    assert k1[0].valid_to == dt.datetime(2024, 1, 2)  # batch 1 max ts
+    assert k1[1].valid_to == dt.datetime(2024, 2, 1)  # batch 2 max ts
+    (k2,) = by_key[2]
+    assert k2.seg == "B" and k2.is_current and k2.valid_from == dt.datetime(2020, 1, 1)
+    (k3,) = by_key[3]
+    assert k3.seg == "C" and k3.is_current
+    # versioned mutation: the pre-stream state is still reachable
+    hist = s.sql("SELECT count(*) AS c FROM scd_dim VERSION AS OF 1").collect()
+    assert hist[0].c == 2
+    s.sql("DROP TABLE scd_dim")
