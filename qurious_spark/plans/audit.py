@@ -70,6 +70,7 @@ ALLOW_NON_EQUI = {
 # Queries whose Python stages are the point (stubbed decode, MLlib UDFs).
 ALLOW_PYTHON = {
     "multimodal_image_features",
+    "multimodal_audio_features",  # real RIFF/WAVE parse — mapInPandas by design
     "multimodal_frame_sample",
     "dedup_minhash_ml",
     "udf_vectorized",  # the pandas_udf surface itself — Arrow-batched by design

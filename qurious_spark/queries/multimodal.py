@@ -181,3 +181,93 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS STRING)), ',')"
         ).alias("feature_q6"),
     )
+
+
+WAV_MEDIA_PATH = "/tmp/qurious_wav_media.parquet"
+WAV_EXPECTED_PATH = "/tmp/qurious_wav_expected.parquet"
+_WAV_N, _WAV_SR, _WAV_SAMPLES = 40, 8000, 256
+
+
+def write_wav_fixture() -> None:
+    """Real RIFF/WAVE media fixture + expectations computed straight from
+    the source int16 sample arrays (same md5-derived layout as
+    operators/multimodal.synthetic_wav_media) — the engine side must
+    recover sample rate / counts / RMS / zero crossings by PARSING the
+    file bytes (stdlib wave via _decode_wav), so the oracle checks the
+    real decode, not a shared code path."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from qurious_spark.operators.multimodal import encode_wav
+
+    media, expected = [], []
+    for i in range(_WAV_N):
+        raw = b"".join(
+            hashlib.md5(f"wav:{i}:{j}".encode()).digest()
+            for j in range(_WAV_SAMPLES * 2 // 16 + 1)
+        )
+        samples = np.frombuffer(raw[: _WAV_SAMPLES * 2], dtype="<i2")
+        media.append(
+            {
+                "media_id": i,
+                "kind": "audio",
+                "blob": encode_wav(samples, _WAV_SR),
+                "meta": {
+                    "width": 0,
+                    "height": 0,
+                    "n_frames": 1,
+                    "sample_rate": _WAV_SR,
+                    "format": "wav",
+                },
+            }
+        )
+        f = samples.astype(np.float64)
+        expected.append(
+            {
+                "media_id": i,
+                "sample_rate": _WAV_SR,
+                "n_samples": int(len(f)),
+                "rms": float(np.sqrt(np.mean(f**2))),
+                "zero_crossings": int(np.count_nonzero(np.diff(np.signbit(f)))),
+            }
+        )
+    from qurious_spark.queries.sources import _write_atomic
+
+    _write_atomic(pa.Table.from_pylist(media), WAV_MEDIA_PATH)
+    _write_atomic(pa.Table.from_pylist(expected), WAV_EXPECTED_PATH)
+
+
+@df_query(
+    "multimodal_audio_features",
+    f"""
+    SELECT media_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(ROUND(rms * 1000000) AS BIGINT) AS rms_q6,
+           CAST(zero_crossings AS BIGINT) AS zero_crossings
+    FROM '{WAV_EXPECTED_PATH}'
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode on the hard signal: parse RIFF/WAVE blobs (header
+    sample rate + int16 frames) inside mapInPandas and reduce to rate /
+    count / RMS / zero crossings; expectations are computed at
+    fixture-build time from the source sample arrays (write_wav_fixture).
+    RMS follows the registry float convention (micro-scaled BIGINT on both
+    sides); the operator's own round-to-6 happens upstream of the scaling
+    and both engines hold the identical double."""
+    from qurious_spark.operators.multimodal import decode_audio_features
+    from qurious_spark.sources.readers import read_parquet
+
+    write_wav_fixture()
+    media = read_parquet(spark, WAV_MEDIA_PATH)
+    feats = decode_audio_features(media)
+    return feats.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.expr("CAST(ROUND(rms * 1000000) AS BIGINT)").alias("rms_q6"),
+        F.col("zero_crossings").cast("bigint").alias("zero_crossings"),
+    )
