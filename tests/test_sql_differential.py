@@ -304,6 +304,61 @@ def test_engine_matches_duckdb_on_grouping_sets(session, duck, sql):
     _assert_match(session, duck, sql)
 
 
+@st.composite
+def _subquery_query(draw) -> str:
+    """EXISTS / NOT EXISTS / IN (SELECT) / scalar subqueries (correlated and
+    un-) composed with random outer predicates — the decorrelation surface
+    (semi/anti-join planning) under fuzz."""
+    pred = draw(_predicate())
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        neg = "NOT " if draw(st.booleans()) else ""
+        corr = draw(
+            st.sampled_from(
+                [
+                    "n.n_nationkey = c.c_nationkey",
+                    "n.n_nationkey = c.c_nationkey AND n.n_regionkey < 3",
+                    "n.n_regionkey = c.c_nationkey % 5",
+                ]
+            )
+        )
+        return (
+            f"SELECT c.c_custkey FROM customer c WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM nation n WHERE {corr}) AND ({pred})"
+        )
+    if kind == 1:
+        neg = "NOT " if draw(st.booleans()) else ""
+        r = draw(st.integers(0, 5))
+        return (
+            f"SELECT c_custkey FROM customer WHERE c_nationkey "
+            f"{neg}IN (SELECT n_nationkey FROM nation WHERE n_regionkey < {r})"
+            f" AND ({pred})"
+        )
+    if kind == 2:
+        agg = draw(st.sampled_from(["MAX(n_nationkey)", "MIN(n_nationkey)", "COUNT(*)"]))
+        op = draw(st.sampled_from(["<", ">=", "="]))
+        r = draw(st.integers(0, 4))
+        return (
+            f"SELECT c_custkey FROM customer WHERE (c_nationkey {op} "
+            f"(SELECT {agg} FROM nation WHERE n_regionkey <= {r})) AND ({pred})"
+        )
+    return (
+        "SELECT c.c_custkey, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n"
+        " WHERE n.n_regionkey = c.c_nationkey % 5) AS nsub"
+        f" FROM customer c WHERE {pred}"
+    )
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_subquery_query())
+def test_engine_matches_duckdb_on_subqueries(session, duck, sql):
+    _assert_match(session, duck, sql)
+
+
 def test_grouping_sets_empty_input_deviation_is_pinned(session, duck):
     """Known engine deviation, found by the grouping-sets fuzzer: over an
     EMPTY input the SQL standard (and DuckDB) emit one grand-total row for
