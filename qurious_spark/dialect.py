@@ -537,6 +537,64 @@ def fold_interval_quantity(text: str) -> str:
     return _INTERVAL_SUM_RE.sub(repl, text)
 
 
+def rewrite_qualify(text: str, wrap: bool = False) -> str:
+    """DuckDB/Snowflake-style ``QUALIFY <window-pred>`` desugar.
+
+    Default (inline) form — ``SELECT <list> FROM ... [WHERE/GROUP BY/
+    HAVING] QUALIFY p [ORDER BY/LIMIT tail]`` becomes::
+
+        SELECT * EXCEPT (__qual)
+        FROM (SELECT <list>, (p) AS __qual FROM ...) __qualified
+        WHERE __qual [tail]
+
+    — the predicate joins the inner select list, so it may window over ANY
+    in-scope column (selected or not), like DuckDB. Spark refuses lateral
+    alias references inside window expressions
+    (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW), so a predicate
+    windowing over a SELECT ALIAS needs ``wrap=True``::
+
+        SELECT * EXCEPT (__qual)
+        FROM (SELECT *, (p) AS __qual FROM (<query>) __qualify_base) q
+        WHERE __qual [tail]
+
+    where aliases are materialized columns (but unselected base columns go
+    out of scope). Session.sql tries inline first and retries wrapped on
+    that specific analysis error, covering both DuckDB-parity cases.
+    Top-level only; SELECT DISTINCT + QUALIFY is rejected rather than
+    silently reordered.
+    """
+    i = _find_top_level_keyword(text, "QUALIFY")
+    if i < 0:
+        return text
+    head, rest = text[:i], text[i + len("QUALIFY") :]
+    if re.match(r"^\s*SELECT\s+DISTINCT\b", head, re.IGNORECASE):
+        raise ValueError(
+            "QUALIFY with SELECT DISTINCT is not supported — filter in a "
+            "subquery instead (DISTINCT-then-QUALIFY ordering is ambiguous)"
+        )
+    cuts = [
+        k
+        for k in (_find_top_level_keyword(rest, w) for w in ("ORDER", "LIMIT", "OFFSET"))
+        if k >= 0
+    ]
+    j = min(cuts) if cuts else -1
+    pred, tail = (rest[:j], rest[j:]) if j >= 0 else (rest, "")
+    pred = pred.strip().rstrip(";")
+    f = _find_top_level_keyword(head, "FROM")
+    if f < 0:
+        return text  # SELECT without FROM: nothing to qualify over
+    if wrap:
+        inner = (
+            f"SELECT *, ({pred}) AS __qual FROM ({head.rstrip()}) __qualify_base"
+        )
+    else:
+        inner = f"{head[:f].rstrip()}, ({pred}) AS __qual {head[f:]}".rstrip()
+    return (
+        f"SELECT * EXCEPT (__qual) FROM ({inner}) __qualified "
+        f"WHERE __qual {tail}"
+    )
+
+
 _READ_FN_RE = re.compile(
     r"\b(read_csv|read_json|read_parquet|read_orc)\s*\(\s*'([^']+)'\s*((?:,[^)]*)?)\)",
     re.IGNORECASE,

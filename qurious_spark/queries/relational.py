@@ -782,3 +782,25 @@ sql_query(
     FROM months LEFT JOIN o ON months.m = o.m
     """,
 )
+
+
+_QUALIFY_SQL = """
+    SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey AS ck
+    FROM customer
+    QUALIFY row_number() OVER (
+        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) <= 2
+"""
+
+
+@df_query("window_qualify", _QUALIFY_SQL)
+def window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB/Snowflake QUALIFY clause (top-2 customers per nation by
+    account balance): the dialect desugars it into a post-window filter
+    (dialect.rewrite_qualify; Spark has no QUALIFY), while DuckDB runs the
+    IDENTICAL text natively — a genuine cross-dialect semantic check, not a
+    restated oracle."""
+    from qurious_spark.queries import ensure_views
+    from qurious_spark.session import Session
+
+    ensure_views(spark, sf_dir)
+    return Session(spark).sql(_QUALIFY_SQL)

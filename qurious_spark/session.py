@@ -33,6 +33,7 @@ from qurious_spark.dialect import (
     DdlDmlStatement,
     fold_interval_quantity,
     parse_ddl_dml,
+    rewrite_qualify,
     rewrite_table_functions,
 )
 
@@ -362,7 +363,16 @@ class Session:
         )
         if m:
             return self._explain(m.group(2), (m.group(1) or "formatted").lower())
-        rewritten = fold_interval_quantity(rewrite_table_functions(self, text))
+        pre_qualify = fold_interval_quantity(rewrite_table_functions(self, text))
+        rewritten = rewrite_qualify(pre_qualify)
+        # QUALIFY predicates windowing over a SELECT alias need the wrapped
+        # desugar (Spark rejects lateral alias refs in windows) — staged
+        # here, used by the analysis-failure retry at the execution point
+        qualify_fallback = (
+            rewrite_qualify(pre_qualify, wrap=True)
+            if rewritten is not pre_qualify and rewritten != pre_qualify
+            else None
+        )
         if rewritten.strip().upper().startswith("SHOW TABLES"):
             return self._show_tables()
         # information_schema.tables is a real queryable relation in the
@@ -397,7 +407,14 @@ class Session:
         )
         if m_hist:
             return self._describe_history(m_hist.group(1))
-        df = self.spark.sql(self._dequalify(rewritten))
+        try:
+            df = self.spark.sql(self._dequalify(rewritten))
+        except Exception as e:
+            if qualify_fallback is not None and "LATERAL_COLUMN_ALIAS" in str(e):
+                # re-enter with the wrapped QUALIFY desugar (no QUALIFY
+                # keyword left in it, so this cannot recurse)
+                return self.sql(qualify_fallback)
+            raise
         if info_view is not None:
             # the returned plan resolved the view during analysis; dropping
             # it immediately keeps the shared SparkSession catalog from

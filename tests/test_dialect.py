@@ -89,3 +89,28 @@ def test_update_where_inside_quoted_identifier_not_split():
     assert _find_top_level_keyword("a = `x where y`", "WHERE") == -1
     assert _find_top_level_keyword('a = "x" WHERE b = 1', "WHERE") == 8
     assert _split_top_level_commas('a = "x, y", b = 2') == ['a = "x, y"', ' b = 2']
+
+
+def test_rewrite_qualify_passthrough_and_distinct_rejection():
+    import pytest as _pytest
+
+    from qurious_spark.dialect import rewrite_qualify
+
+    plain = "SELECT a FROM t WHERE b > 1"
+    assert rewrite_qualify(plain) == plain
+    # quoted identifiers must not register as the keyword
+    quoted = 'SELECT a AS "qualify" FROM t'
+    assert rewrite_qualify(quoted) == quoted
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        rewrite_qualify("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+
+
+def test_rewrite_qualify_inline_and_wrapped_shapes():
+    from qurious_spark.dialect import rewrite_qualify
+
+    sql = "SELECT a, b FROM t WHERE c = 1 QUALIFY rn() OVER (ORDER BY a) = 1 ORDER BY a LIMIT 3"
+    inline = rewrite_qualify(sql)
+    assert "EXCEPT (__qual)" in inline and "WHERE __qual" in inline
+    assert inline.rstrip().endswith("LIMIT 3")
+    wrapped = rewrite_qualify(sql, wrap=True)
+    assert "__qualify_base" in wrapped and "WHERE __qual" in wrapped
