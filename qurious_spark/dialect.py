@@ -583,14 +583,50 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
     f = _find_top_level_keyword(head, "FROM")
     if f < 0:
         return text  # SELECT without FROM: nothing to qualify over
+    # The ORDER BY tail lands OUTSIDE the generated subquery (it must sort
+    # the filtered rows), so a bare base column that the select list doesn't
+    # expose would fall out of scope — legal in DuckDB and in plain Spark.
+    # Inline form: carry such columns through the inner select and EXCEPT
+    # them away in the outer projection (round-5 advisor finding). Only
+    # simple identifiers are carried; ORDER BY over an unselected
+    # *expression* still needs selecting it (documented limitation), as
+    # does the wrap form, whose inner ``SELECT * FROM (<query>)`` has no
+    # base columns left to carry.
+    extra: list[str] = []
+    select_list = head[: f]
+    if not wrap and tail:
+        om = re.match(
+            r"^\s*ORDER\s+BY\s+(.*?)(?=\bLIMIT\b|\bOFFSET\b|$)",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if om and "*" not in select_list:
+            for item in _split_top_level_commas(om.group(1)):
+                ident = re.sub(
+                    r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b",
+                    "",
+                    item,
+                    flags=re.IGNORECASE,
+                ).strip().rstrip(";")
+                # conservative: carry only bare identifiers that appear
+                # nowhere in the select-list text (an occurrence inside an
+                # expression may already expose the name)
+                if (
+                    re.fullmatch(r"[A-Za-z_]\w*", ident)
+                    and not re.search(rf"\b{ident}\b", select_list, re.IGNORECASE)
+                    and ident not in extra
+                ):
+                    extra.append(ident)
+    carried = "".join(f", {c}" for c in extra)
+    except_list = ", ".join(["__qual", *extra])
     if wrap:
         inner = (
             f"SELECT *, ({pred}) AS __qual FROM ({head.rstrip()}) __qualify_base"
         )
     else:
-        inner = f"{head[:f].rstrip()}, ({pred}) AS __qual {head[f:]}".rstrip()
+        inner = f"{head[:f].rstrip()}{carried}, ({pred}) AS __qual {head[f:]}".rstrip()
     return (
-        f"SELECT * EXCEPT (__qual) FROM ({inner}) __qualified "
+        f"SELECT * EXCEPT ({except_list}) FROM ({inner}) __qualified "
         f"WHERE __qual {tail}"
     )
 

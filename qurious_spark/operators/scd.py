@@ -61,16 +61,34 @@ def scd2_merge(
         *[F.col(c).alias(f"__u_{c}") for c in attr_cols],
     )
     # fail fast on a key with two update rows — SCD2 has no defined order
-    # for same-batch versions (same rule DuckDB/Delta MERGE enforce)
-    dup = upd.groupBy("__k").count().filter(F.col("count") > 1).limit(1).collect()
-    if dup:
+    # for same-batch versions (same rule DuckDB/Delta MERGE enforce) — and
+    # on a NULL update key, which the equi-join below could never match
+    # (one job covers both checks)
+    bad = (
+        upd.groupBy("__k")
+        .count()
+        .filter((F.col("count") > 1) | F.col("__k").isNull())
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        if bad[0]["__k"] is None:
+            raise ValueError(
+                "updates carry a NULL business key; SCD2 updates must "
+                "identify the row they version"
+            )
         raise ValueError(
-            f"updates carry more than one row for key {dup[0]['__k']!r}; "
+            f"updates carry more than one row for key {bad[0]['__k']!r}; "
             "SCD2 batches must be unique per business key"
         )
 
     hist = dim.filter(~F.col(current_col))
-    cur = dim.filter(F.col(current_col))
+    cur_all = dim.filter(F.col(current_col))
+    # a NULL-key open version can never match an update (equi-join skips
+    # NULLs) — pass it through unchanged instead of silently dropping it
+    # (round-5 advisor finding: the isNotNull slice tests routed it nowhere)
+    cur_null = cur_all.filter(F.col(key_col).isNull()).select(out_cols)
+    cur = cur_all.filter(F.col(key_col).isNotNull())
 
     joined = cur.join(upd, cur[key_col] == upd["__k"], "full_outer")
     # null-safe any-attribute-differs (NULL attr == NULL attr is "same")
@@ -97,6 +115,7 @@ def scd2_merge(
     )
     return (
         hist.select(out_cols)
+        .unionByName(cur_null)
         .unionByName(unchanged_cur)
         .unionByName(closed)
         .unionByName(new_versions)

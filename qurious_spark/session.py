@@ -327,7 +327,18 @@ class Session:
         per plan line. Beyond the reference (which exposes no EXPLAIN);
         the query goes through the full dialect shim first, so table
         functions / interval folding / managed tables are planned exactly
-        as they would execute."""
+        as they would execute. DDL/DML under EXPLAIN is rejected up front:
+        ``self.sql`` on an INSERT/UPDATE/DELETE/MERGE would EXECUTE the
+        mutation as a side effect of rendering its plan (round-5 advisor
+        finding), and Spark itself has no no-op plan for our managed-table
+        statements to render."""
+        if parse_ddl_dml(inner_sql) is not None:
+            raise ValueError(
+                "EXPLAIN of a DDL/DML statement is not supported: managed-"
+                "table mutations have no renderable no-op plan (explaining "
+                "would execute the statement). EXPLAIN the inner SELECT "
+                "instead."
+            )
         df = self.sql(inner_sql)
         try:
             jvm = self.spark._jvm

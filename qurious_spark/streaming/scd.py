@@ -38,7 +38,9 @@ def scd2_stream(
     ``attr_cols`` and an event-time ``ts_col``) into the managed SCD2 table
     ``table_name`` (schema: ``key, *attrs, valid_from, valid_to,
     is_current``) with availableNow. Each batch's effective timestamp is
-    the batch's max ``ts_col`` — deterministic for a given batch split."""
+    the batch's max ``ts_col`` — deterministic for a given batch split —
+    clamped to the open versions' max ``valid_from`` so a late drain can
+    never produce an inverted validity interval."""
     attr_cols = list(attr_cols)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -58,6 +60,20 @@ def scd2_stream(
         # managed table (same rule as streaming/rollup.py)
         latest = latest.localCheckpoint(eager=True)
         dim = session.table(table_name)
+        # monotonicity clamp (round-5 advisor finding): a late-arriving
+        # drain whose max event time precedes an open version's valid_from
+        # would close that version with valid_to < valid_from — inverted
+        # validity intervals. Clamp the effective timestamp to the open
+        # versions' max valid_from; at the clamp point the closed version
+        # becomes zero-length (valid_from == valid_to), which scd2_snapshot
+        # correctly never surfaces.
+        floor_ts = (
+            dim.filter(F.col("is_current"))
+            .agg(F.max("valid_from"))
+            .collect()[0][0]
+        )
+        if floor_ts is not None and batch_ts < floor_ts:
+            batch_ts = floor_ts
         merged = scd2_merge(
             dim, latest, key_col, attr_cols, str(batch_ts)
         ).localCheckpoint(eager=True)

@@ -114,3 +114,25 @@ def test_rewrite_qualify_inline_and_wrapped_shapes():
     assert inline.rstrip().endswith("LIMIT 3")
     wrapped = rewrite_qualify(sql, wrap=True)
     assert "__qualify_base" in wrapped and "WHERE __qual" in wrapped
+
+
+def test_rewrite_qualify_carries_unselected_order_by_column():
+    from qurious_spark.dialect import rewrite_qualify
+
+    sql = (
+        "SELECT grp, v FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1 "
+        "ORDER BY k"
+    )
+    out = rewrite_qualify(sql)
+    # k joins the inner select so the outer ORDER BY can see it, and is
+    # EXCEPTed away from the final projection
+    assert ", k," in out.replace("  ", " ") or "v, k" in out
+    assert "EXCEPT (__qual, k)" in out
+    # a selected column is not duplicated
+    sql2 = (
+        "SELECT grp, v FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v) = 1 "
+        "ORDER BY v"
+    )
+    assert "EXCEPT (__qual)" in rewrite_qualify(sql2)

@@ -97,3 +97,29 @@ def test_scd2_duplicate_update_keys_rejected(spark, dim):
     )
     with pytest.raises(ValueError, match="more than one row"):
         scd2_merge(dim, updates, "k", ["seg", "bal"], "2024-06-01")
+
+
+def test_scd2_null_update_key_rejected(spark, dim):
+    updates = spark.createDataFrame(
+        [(None, "A", 1.0)], "k bigint, seg string, bal double"
+    )
+    with pytest.raises(ValueError, match="NULL business key"):
+        scd2_merge(dim, updates, "k", ["seg", "bal"], "2024-06-01")
+
+
+def test_scd2_null_key_current_row_passes_through(spark):
+    """A NULL-key open version can never match an update (equi-join skips
+    NULLs) — it must survive the merge unchanged, not vanish."""
+    rows = [
+        (None, "ORPHAN", 1.0, T0, None, True),
+        (2, "AUTO", 5.0, T0, None, True),
+    ]
+    dim = spark.createDataFrame(rows, SCHEMA)
+    updates = spark.createDataFrame(
+        [(2, "RAIL", 6.0)], "k bigint, seg string, bal double"
+    )
+    out = scd2_merge(dim, updates, "k", ["seg", "bal"], "2024-06-01").collect()
+    orphan = [r for r in out if r.k is None]
+    assert len(orphan) == 1
+    assert orphan[0].is_current and orphan[0].seg == "ORPHAN"
+    assert len([r for r in out if r.k == 2]) == 2  # closed + new version

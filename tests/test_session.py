@@ -453,3 +453,33 @@ def test_explain_statement_returns_plan_lines(fresh):
         r.plan_line for r in fresh.sql(f"EXPLAIN SELECT * FROM read_csv('{out}')").collect()
     )
     assert "Scan csv" in p2 or "FileScan" in p2 or "Scan" in p2
+
+
+def test_explain_ddl_dml_rejected_and_does_not_execute(fresh):
+    """EXPLAIN of a mutation must not run it (round-5 advisor finding:
+    _explain used to call self.sql on the inner text, executing the DML)."""
+    import pytest as _pytest
+
+    fresh.sql("CREATE TABLE exp_m (k BIGINT)")
+    fresh.sql("INSERT INTO exp_m VALUES (1)")
+    with _pytest.raises(ValueError, match="EXPLAIN of a DDL/DML"):
+        fresh.sql("EXPLAIN INSERT INTO exp_m VALUES (2)")
+    with _pytest.raises(ValueError, match="EXPLAIN of a DDL/DML"):
+        fresh.sql("EXPLAIN FORMATTED DELETE FROM exp_m WHERE k = 1")
+    assert fresh.sql("SELECT count(*) AS n FROM exp_m").collect()[0].n == 1
+
+
+def test_qualify_order_by_unselected_base_column(fresh):
+    """DuckDB-legal: ORDER BY a base column the select list doesn't expose,
+    on a QUALIFY query (round-5 advisor finding)."""
+    fresh.sql("CREATE TABLE q_ob (k BIGINT, grp VARCHAR, v BIGINT)")
+    fresh.sql(
+        "INSERT INTO q_ob VALUES (1,'a',10),(2,'a',20),(3,'b',50),(4,'b',5)"
+    )
+    rows = fresh.sql(
+        "SELECT grp, v FROM q_ob "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1 "
+        "ORDER BY k"
+    ).collect()
+    assert [(r.grp, r.v) for r in rows] == [("a", 20), ("b", 50)]
+    assert list(rows[0].asDict().keys()) == ["grp", "v"]

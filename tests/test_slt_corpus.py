@@ -157,3 +157,51 @@ def test_quoted_identifiers_do_not_force_ordered_compare():
     assert not _is_top_level_ordered('SELECT a AS "order by" FROM t')
     assert not _is_top_level_ordered("SELECT a AS `order by` FROM t")
     assert _is_top_level_ordered('SELECT a AS "order by" FROM t ORDER BY a')
+
+
+class _TieBreakOracle:
+    """DuckDB wrapper that answers ordered-LIMIT queries with a DIFFERENT
+    (but equally legal) tied top-k, simulating a tie at the cutoff."""
+
+    def __init__(self, con):
+        self.con = con
+
+    def sql(self, q):
+        if "LIMIT" in q.upper() and "ORDER BY" in q.upper():
+            q = q.replace("ORDER BY v DESC", "ORDER BY v DESC, k DESC")
+        return self.con.sql(q)
+
+
+def test_oracle_ordered_limit_tie_fallback(spark, tmp_path):
+    """ORDER BY ... LIMIT with ties at the cutoff: both engines may pick a
+    legal-but-different top-k; the oracle gate falls back to an un-limited
+    multiset compare instead of failing on the non-bug (round-5 advisor
+    finding) — while a genuine value bug still fails."""
+    import duckdb
+
+    slt = tmp_path / "tie.slt"
+    slt.write_text(
+        "statement ok\n"
+        "CREATE TABLE tie_t (k BIGINT, v BIGINT)\n"
+        "\n"
+        "statement ok\n"
+        "INSERT INTO tie_t VALUES (1, 10), (2, 10), (3, 10), (4, 0)\n"
+        "\n"
+        "query II\n"
+        "SELECT k, v FROM tie_t ORDER BY v DESC LIMIT 2\n"
+        "----\n"
+        "ignored (oracle mode recomputes)\n"
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE tie_t (k BIGINT, v BIGINT)")
+    con.sql("INSERT INTO tie_t VALUES (1, 10), (2, 10), (3, 10), (4, 0)")
+    r = run_slt_file(str(slt), spark, oracle=_TieBreakOracle(con))
+    assert r.ok, "\n".join(r.failures)
+
+    # negative control: a value difference inside the tied set is NOT
+    # masked — the un-limited multisets differ too
+    con2 = duckdb.connect()
+    con2.sql("CREATE TABLE tie_t (k BIGINT, v BIGINT)")
+    con2.sql("INSERT INTO tie_t VALUES (1, 99), (2, 10), (3, 10), (4, 0)")
+    r2 = run_slt_file(str(slt), spark, oracle=_TieBreakOracle(con2))
+    assert not r2.ok

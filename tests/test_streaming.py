@@ -524,3 +524,47 @@ def test_scd2_stream_maintains_versioned_dimension(spark, tmp_path):
     hist = s.sql("SELECT count(*) AS c FROM scd_dim VERSION AS OF 1").collect()
     assert hist[0].c == 2
     s.sql("DROP TABLE scd_dim")
+
+
+def test_scd2_stream_clamps_late_batch_timestamp(spark, tmp_path):
+    """A drain whose max event time precedes an open version's valid_from
+    must not produce an inverted validity interval (round-5 advisor
+    finding): the effective timestamp clamps to the open versions' max
+    valid_from."""
+    import datetime as dt
+    import glob as g
+    import shutil
+
+    from qurious_spark.session import Session
+    from qurious_spark.streaming import scd2_stream
+
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS scd_late")
+    s.sql(
+        "CREATE TABLE scd_late (k BIGINT, seg VARCHAR, "
+        "valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN)"
+    )
+    s.sql(
+        "INSERT INTO scd_late VALUES "
+        "(1, 'A', TIMESTAMP '2024-05-01', NULL, TRUE)"
+    )
+    upd_dir = tmp_path / "upd"
+    upd_dir.mkdir()
+    schema = "k bigint, seg string, ts timestamp"
+    # late file: event time BEFORE the open version's valid_from
+    tmp = str(tmp_path / "tmp_b1")
+    spark.createDataFrame(
+        [(1, "B", dt.datetime(2024, 1, 1))], schema
+    ).coalesce(1).write.parquet(tmp)
+    shutil.move(g.glob(tmp + "/part-*.parquet")[0], str(upd_dir / "b1.parquet"))
+    stream = spark.readStream.schema(schema).parquet(str(upd_dir))
+    scd2_stream(stream, s, "scd_late", "k", ["seg"], "ts", str(tmp_path / "ckpt"))
+
+    rows = s.sql("SELECT * FROM scd_late").collect()
+    assert all(
+        r.valid_to is None or r.valid_to >= r.valid_from for r in rows
+    ), rows
+    closed = [r for r in rows if not r.is_current][0]
+    assert closed.valid_to == dt.datetime(2024, 5, 1)  # clamped, not 2024-01-01
+    new = [r for r in rows if r.is_current][0]
+    assert new.seg == "B" and new.valid_from == dt.datetime(2024, 5, 1)
