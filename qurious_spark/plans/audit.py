@@ -11,6 +11,9 @@ plan IS the scale story, so we lint it mechanically.  For each
   decode, MLlib minhash) — everything else must stay JVM-side;
 - **no_codegen**: plans with zero WholeStageCodegen spans (interpreted
   execution end to end);
+- **global_window**: an unpartitioned Window node (child distribution
+  SinglePartition — the round-2 tpch_q11 scale-killer) outside the
+  bounded-by-construction allowlist;
 - informational: shuffle count, scan count, per-scan column width (pruning).
 
 Run: ``python -m qurious_spark.plans.audit [--sf DIR] [--only a,b]``;
@@ -67,6 +70,27 @@ ALLOW_NON_EQUI = {
     "pipeline_psi_drift",
 }
 
+# Queries allowed to plan an UNPARTITIONED Window (child distribution =
+# SinglePartition, every row through one task). Each site is bounded by
+# construction — the window runs over a frame already reduced to a small,
+# data-independent row count — and carries a matching comment in the source.
+# Anything else planning a global window is the round-2 tpch_q11
+# scale-killer shape and fails the audit.
+ALLOW_GLOBAL_WINDOW = {
+    # two-phase prefix sum: the global cumulative sum runs over the 64
+    # per-bucket TOTALS, not the corpus (operators/packing.py:52-57)
+    "pipeline_pack_bins",
+    # k-means: cumulative-count seeding over k<=16 centroid candidate rows
+    # (operators/clustering.py:78-80)
+    "embedding_semdedup",
+    # IVF coarse-quantizer training: cumulative-count k-means seeding over
+    # the bounded centroid-candidate rows (operators/similarity.py:196-199)
+    "ann_ivf_topk",
+    # windowed demo over a predicate-bounded slice (<=400 rows at any sf;
+    # queries/relational.py:684-691 documents the bound)
+    "window_ntile_percent",
+}
+
 # Queries whose Python stages are the point (stubbed decode, MLlib UDFs).
 ALLOW_PYTHON = {
     "multimodal_image_features",
@@ -118,12 +142,22 @@ def audit_df(name: str, df: DataFrame) -> tuple[list[Finding], dict]:
         findings.append(Finding(name, "cartesian", "CartesianProduct in plan"))
     if summary["nested_loop_joins"] and name not in ALLOW_NON_EQUI:
         findings.append(Finding(name, "bnlj", "BroadcastNestedLoopJoin in plan"))
+    if summary["global_windows"] and name not in ALLOW_GLOBAL_WINDOW:
+        findings.append(
+            Finding(
+                name,
+                "global_window",
+                f"{summary['global_windows']} unpartitioned Window node(s) "
+                "(SinglePartition child distribution)",
+            )
+        )
     py_nodes = [n for n in _PYTHON_NODES if n in plan]
     if py_nodes and name not in ALLOW_PYTHON:
         findings.append(Finding(name, "python_eval", ", ".join(py_nodes)))
     if summary["codegen_stages"] == 0 and not py_nodes and summary["scans"]:
         findings.append(Finding(name, "no_codegen", "no WholeStageCodegen span"))
     info = {
+        "global_windows": summary["global_windows"],
         "shuffles": summary["shuffles"],
         "scans": summary["scans"],
         "broadcast_joins": summary["broadcast_joins"],

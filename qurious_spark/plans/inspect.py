@@ -11,9 +11,35 @@ def _executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# A Window node renders as ``Window [exprs], [partitionSpec], [orderSpec]``,
+# dropping empty trailing groups: partitioned-no-order keeps two groups,
+# UNPARTITIONED-with-order also keeps two (exprs + orderSpec). The two-group
+# cases are told apart by the sort direction tokens only an order spec
+# carries. An unpartitioned window's required child distribution is
+# SinglePartition — every row funnels through one task.
+_WINDOW_LINE = re.compile(r"\bWindow(?:InPandas)?\s+(\[.*)")
+
+
+def global_window_count(plan: str) -> int:
+    """Number of Window nodes with no PARTITION BY (single-partition exec)."""
+    n = 0
+    for line in plan.splitlines():
+        m = _WINDOW_LINE.search(line)
+        if not m:
+            continue
+        groups = m.group(1).split("], [")
+        if len(groups) >= 3:
+            continue  # exprs, partition, order
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[1]):
+            continue  # exprs, partition spec (window with no ORDER BY)
+        n += 1
+    return n
+
+
 def plan_facts(plan: str) -> dict:
     """One-glance facts from a physical-plan string."""
     return {
+        "global_windows": global_window_count(plan),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),

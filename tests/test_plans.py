@@ -79,3 +79,31 @@ def test_metadata_agg_prunes_blob_column(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # blob only appears via length(); ensure no full-width scan of meta fields
     assert "format" not in plan or "meta.format" not in plan
+
+
+def test_global_window_count_distinguishes_partitioned_shapes():
+    """Plan-text shapes observed from Spark 4: global-with-order,
+    partitioned-no-order, partitioned-with-order, bare global."""
+    from qurious_spark.plans.inspect import global_window_count
+
+    glob = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS r#2], [id#0L ASC NULLS FIRST]"
+    )
+    part_no_order = (
+        "+- Window [count(1) windowspecdefinition(doc_id#0L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS __n#12L], [doc_id#0L]"
+    )
+    part_ordered = (
+        "+- Window [min(__hv#9L) windowspecdefinition(doc_id#0L, __pos#7 ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, currentrow$(), 3)) AS "
+        "__wm#10L], [doc_id#0L], [__pos#7 ASC NULLS FIRST]"
+    )
+    bare_global = "+- Window [sum(x#1L) windowspecdefinition(...) AS s#3L]"
+    assert global_window_count(glob) == 1
+    assert global_window_count(part_no_order) == 0
+    assert global_window_count(part_ordered) == 0
+    assert global_window_count(bare_global) == 1
+    assert global_window_count("\n".join([glob, part_ordered, bare_global])) == 2
