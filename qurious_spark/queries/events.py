@@ -292,6 +292,53 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "events_stream_interval_join",
+    # Exact batch restatement: the bounded source drains in one availableNow
+    # micro-batch (4 staged files, maxFilesPerTrigger=4), so no row is ever
+    # evicted before its matches arrive and the stream-stream inner join
+    # equals the batch join row-for-row.
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound
+    (streaming/joins.py stream_stream_interval_join): clicks correlated to
+    the purchases that follow within an hour, per user. The watermark +
+    interval bound is what makes join state FINITE at 100 TB — rows older
+    than (watermark - interval) are evicted; an unbounded stream-stream
+    join would accumulate state forever. Drained with availableNow in
+    append mode and hash-compared against the batch equivalent."""
+    from qurious_spark.streaming import run_to_memory
+    from qurious_spark.streaming.joins import stream_stream_interval_join
+
+    _staged_events_stream(spark, sf_dir)  # ensure the staging dir exists
+    clicks = _staged_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _staged_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        key=("user_id", "user_id"),
+        ts=("ts", "ts"),
+        watermark="2 hours",
+        interval="1 hour",
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    name = f"q_stream_ivjoin_{next(_STREAM_RUNS)}"
+    return run_to_memory(out, name, output_mode="append")
+
+
+@df_query(
     "events_interval_overlap",
     """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id

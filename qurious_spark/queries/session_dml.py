@@ -341,3 +341,79 @@ def dml_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("date").alias("vto"),
         "is_current",
     )
+
+
+@df_query(
+    "dml_scd2_stream",
+    # Set-algebra restatement of one streamed SCD2 batch: every 10th
+    # customer gets two in-batch updates (MID @ 2024-01-01, NEW @
+    # 2024-02-01); latest-by-event-time wins, the batch's effective
+    # timestamp is its max event time, so changed keys close at 2024-02-01.
+    """
+    WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+    SELECT k, seg, DATE '2020-01-01' AS vfrom, CAST(NULL AS DATE) AS vto,
+           TRUE AS is_current
+    FROM dim WHERE k % 10 <> 0
+    UNION ALL
+    SELECT k, seg, DATE '2020-01-01', DATE '2024-02-01', FALSE
+    FROM dim WHERE k % 10 = 0
+    UNION ALL
+    SELECT k, 'NEW', DATE '2024-02-01', CAST(NULL AS DATE), TRUE
+    FROM dim WHERE k % 10 = 0
+    """,
+)
+def dml_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 (streaming/scd.py scd2_stream) on the hard signal: a
+    managed dimension built from customer, an update stream drained with
+    availableNow through foreachBatch -> scd2_merge. Within the batch two
+    updates per key collapse to the latest by event time; the batch's max
+    event time stamps the closed versions. The streaming query itself is
+    stateless (state lives in the versioned table), so restarts resume
+    from sink offsets — the production shape for dimension maintenance
+    off a CDC feed."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qurious_spark.queries import ensure_views
+    from qurious_spark.session import Session
+    from qurious_spark.streaming.scd import scd2_stream
+
+    ensure_views(spark, sf_dir)
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS scd_sdim")
+    s.sql(
+        "CREATE TABLE scd_sdim AS "
+        "SELECT c_custkey AS k, c_mktsegment AS seg, "
+        "TIMESTAMP '2020-01-01' AS valid_from, "
+        "CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current "
+        "FROM customer"
+    )
+    cust = table(spark, sf_dir, "customer")
+    hit = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    upd = hit.select(
+        "k", F.lit("MID").alias("seg"), F.to_timestamp(F.lit("2024-01-01")).alias("ts")
+    ).unionByName(
+        hit.select(
+            "k", F.lit("NEW").alias("seg"), F.to_timestamp(F.lit("2024-02-01")).alias("ts")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="q_scd_stream_")
+    upd_dir = os.path.join(root, "upd")
+    upd.coalesce(1).write.parquet(upd_dir)
+    stream = spark.readStream.schema("k bigint, seg string, ts timestamp").parquet(
+        upd_dir
+    )
+    scd2_stream(
+        stream, s, "scd_sdim", "k", ["seg"], "ts", os.path.join(root, "ckpt")
+    )
+    return s.table("scd_sdim").select(
+        "k",
+        "seg",
+        F.col("valid_from").cast("date").alias("vfrom"),
+        F.col("valid_to").cast("date").alias("vto"),
+        "is_current",
+    )
