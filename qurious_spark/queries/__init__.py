@@ -138,94 +138,107 @@ def load_all() -> None:
 # Everything outside the prefix keeps registration order and stays covered
 # by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # flagship + DDL/DML (§2.1 Ddl/Dml, §2.2 managed table). Round-5
-    # rotation: merge_upsert (green r4) -> dml_update_from (never checked);
-    # the Dml row keeps dml_roundtrip in-window + merge_upsert's r4 green.
+    # Round-6 rotation (the big one — VERDICT r5 task 1): ALL 50 slots were
+    # green in CORRECTNESS_r05, so 20 singletons whose families keep either
+    # an in-window rep or a cumulative driver-green row rotate out for 20
+    # never-driver-checked entries, prioritizing the TPC-H tail (q2-q22 had
+    # never been windowed; reference qurious/tests/tpch/*.slt is the
+    # semantics anchor). Rotated out, with the family cover in parens:
+    # tpch_q11_partsupp (partsupp r5 green; 10 TPC-H entries now in-window),
+    # wildcard_qualified (r5 green), join_left_semi/join_left_anti (r5
+    # green; join_full_outer stays), is_null_checks (stale-ledger purpose
+    # served r5), recursive_cte_months (r5 green; cte_query r4 green),
+    # events_stream_session (r5 green; sliding+gapfill+interval join stay),
+    # udf_vectorized (r5 green; udaf_grouped_agg takes the UDx slot),
+    # agg_distinct + having_filter (r5 green; agg_basic+rollup_agg stay),
+    # dedup_simhash_pairs + dedup_resolve (r5 green; exact/minhash/
+    # incremental stay, dedup_clusters in), multimodal_image_features (r5
+    # green; media_stats stays), text_chunk_documents + text_length_filter
+    # (r5 green; winnow pair stays, duplicate_spans in), pipeline_split_train
+    # + pipeline_decontaminate (r5 green; pack_bins+training_data stay),
+    # sample_stratified_hash (r5 green), sketch_bitmap_distinct (r5 green;
+    # sketch_hll_rollup in), heavy_hitters_ngrams (r5 green; events variant
+    # r3 green).
     "tpch_q1",
     "dml_roundtrip",
     "dml_update_from",
-    # §2.2 sources: CSV + COPY TO + read_csv fn / NDJSON / COPY FROM .tbl,
-    # uint-typed parquet, information_schema catalog
+    # §2.2 sources: CSV + COPY TO + read_csv fn / COPY FROM .tbl,
+    # uint-typed parquet, ORC, information_schema catalog
     "source_csv_roundtrip",
     "source_copy_tbl",
     "source_uint_parquet",
     "source_orc_roundtrip",
     "catalog_information_schema",
-    # §2.5 windows, set ops, CTE, streaming, UDF. Round-5 rotation:
-    # cte_query (green r4) -> recursive_cte_months (WITH RECURSIVE, never
-    # checked) — still a CTE planned as SubqueryAlias (SURVEY §3.1), so the
-    # SubqueryAlias row keeps an in-window rep; is_null_checks returns to
-    # the window once to clear its stale r1/r2 red ledger rows (its fix is
-    # local-gate green but was never re-driver-checked; §2.3 row otherwise
-    # covered by predicate_suite).
+    # §2.5 windows, set ops, streaming, UDx — window_qualify (newest
+    # dialect surface), except_keys (set-op family's first driver check),
+    # udaf_grouped_agg (grouped-agg pandas UDAF), the new stream-stream
+    # interval join (VERDICT r5 task 7)
     "window_rank_dense",
-    "recursive_cte_months",
+    "window_qualify",
+    "except_keys",
     "events_stream_sliding",
-    "events_stream_session",
-    "udf_vectorized",
-    "is_null_checks",
-    # §2.1/§2.3 rotated-in: partsupp-topology q11, qualified wildcard
-    "tpch_q11_partsupp",
-    "wildcard_qualified",
-    # §2.1 join operators (outer/semi/anti stay: full-outer NULL handling,
-    # semi/anti row semantics are the discriminating cases)
+    "events_stream_gapfill",
+    "events_stream_interval_join",
+    "udaf_grouped_agg",
+    # §2.1 joins: full-outer NULL handling stays as the discriminating case
     "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    # §2.3 expression suites (BETWEEN/IN/LIKE/IS NULL; CASE/cast/interval/
-    # EXTRACT/alias-in-GROUP-BY; EXISTS/IN-subq/scalar-subq + no-grouping agg)
+    # §2.3 expression suites + the scalar-function families' first checks
     "predicate_suite",
     "scalar_suite",
     "subquery_suite",
+    "string_functions",
+    "date_functions",
     # §2.4 aggregates
     "agg_basic",
-    "agg_distinct",
-    "having_filter",
     "rollup_agg",
+    # TPC-H tail — first driver checks ever (local-gate green since r2-r3):
+    # q2 nested-subquery min-cost, q3 join+topn, q5 6-way join, q6
+    # filter-agg, q7 cross-year shipping, q9 profit by nation/year, q12
+    # CASE agg, q17 correlated scalar subquery, q19 disjunctive predicates,
+    # q21 multi-EXISTS/NOT-EXISTS
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q21",
     # LLM-pipeline families (one per VERDICT table row)
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_resolve",
+    "dedup_incremental",
+    "dedup_clusters",
     "ann_lsh_topk",
+    "embedding_semdedup",
     "multimodal_media_stats",
-    # heavy-hitter family: the events variant is r03-green; the ngram
-    # (boilerplate) variant takes the in-window slot for a first check
-    "heavy_hitters_ngrams",
-    "sketch_bitmap_distinct",
-    "sample_stratified_hash",
+    "sketch_hll_rollup",
     "pipeline_pack_bins",
     "pipeline_training_data",
-    # rotated-in LLM-pipeline / operator entries never driver-checked before
     "events_funnel",
     "text_fuzzy_join",
     "range_join_binned",
-    "pipeline_decontaminate",
-    "multimodal_image_features",
-    # round-5 rotation: the r4-green singletons events_gapfill, dedup_prefix,
-    # text_pii_redact, embedding_quantize, events_retention rotate out for
-    # never-driver-checked entries; each family keeps an in-window rep
-    # (gapfill -> events_stream_gapfill, dedup -> exact/minhash/simhash/
-    # resolve/incremental, text -> chunk/length/winnow, embedding ->
-    # semdedup/ann_lsh, events -> funnel/stream_sliding/stream_session).
-    "events_stream_gapfill",
-    "embedding_semdedup",
-    "text_chunk_documents",
-    "text_length_filter",
-    "pipeline_split_train",
-    "dedup_incremental",
     "text_winnow_fingerprints",
     "text_winnow_overlap",
+    # round-5 additions, local-gate green since registration
+    "dml_scd2_dimension",
+    "text_duplicate_spans",
 )
 
-# Round-6 rotation candidates (r4/r5-green in-window singletons whose
-# families retain coverage): events_stream_sliding or _session (keep one),
-# text_chunk_documents, pipeline_split_train, sample_stratified_hash,
-# sketch_bitmap_distinct — swap for never-checked entries such as
-# pipeline_psi_drift, pipeline_quality_checks, pipeline_profile,
-# events_stream_tumbling, dedup_ngram_jaccard re-checks, and the round-5
-# additions dml_scd2_dimension (SCD2 merge) and text_duplicate_spans
-# (exact substring dedup), both local-gate green since registration.
+# Round-7 rotation candidates (green singletons whose families retain
+# coverage): the ten TPC-H entries above once green (swap for q4, q8, q10,
+# q13-q16, q18, q20, q22 and the partsupp variants), window_qualify ->
+# window_row_number/lag_lead/range_frame, string/date -> math/regexp/array/
+# hash/conditional/string_agg, sketch_hll_rollup -> sketch_quantiles/
+# approx_distinct, plus the never-checked pipeline entries
+# (psi_drift, quality_checks, profile, shard_counts), sampling variants
+# (sample_weighted_ares, sample_topk_per_source), multimodal frame/audio,
+# vector entries (vector_norms, ann_topk_bruteforce/ivf/pq,
+# embedding_centroids), events singles, dedup_minhash_signatures/
+# simhash_fingerprints/minhash_ml/stream_exact, text singles, and
+# dml_scd2_stream.
 
 
 def ordered_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
