@@ -537,6 +537,29 @@ def fold_interval_quantity(text: str) -> str:
     return _INTERVAL_SUM_RE.sub(repl, text)
 
 
+def _select_output_names(select_list: str) -> set[str]:
+    """Lower-cased output column names a ``SELECT <list>`` exposes: the AS
+    alias, a bare or qualified identifier's trailing name, or a simple
+    ``col alias`` (no-AS) pair. Expression items with a no-AS alias are not
+    recognized — their ORDER BY use stays a documented limitation."""
+    body = re.sub(r"^\s*SELECT\s+(DISTINCT\s+)?", "", select_list, flags=re.IGNORECASE)
+    names: set[str] = set()
+    for item in _split_top_level_commas(body):
+        item = item.strip()
+        m = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        if m:
+            names.add(m.group(1).lower())
+        elif re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", item):
+            names.add(item.split(".")[-1].lower())
+        else:
+            m2 = re.fullmatch(
+                r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\s+([A-Za-z_]\w*)", item
+            )
+            if m2:
+                names.add(m2.group(1).lower())
+    return names
+
+
 def rewrite_qualify(text: str, wrap: bool = False) -> str:
     """DuckDB/Snowflake-style ``QUALIFY <window-pred>`` desugar.
 
@@ -587,8 +610,11 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
     # the filtered rows), so a bare base column that the select list doesn't
     # expose would fall out of scope — legal in DuckDB and in plain Spark.
     # Inline form: carry such columns through the inner select and EXCEPT
-    # them away in the outer projection (round-5 advisor finding). Only
-    # simple identifiers are carried; ORDER BY over an unselected
+    # them away in the outer projection (round-5 advisor finding; the
+    # "appears anywhere in the select text" shortcut was itself caught by
+    # the QUALIFY fuzzer — a column referenced inside a window expression is
+    # NOT exposed — so exposure is decided on the parsed OUTPUT names).
+    # Only simple identifiers are carried; ORDER BY over an unselected
     # *expression* still needs selecting it (documented limitation), as
     # does the wrap form, whose inner ``SELECT * FROM (<query>)`` has no
     # base columns left to carry.
@@ -600,7 +626,17 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
             tail,
             re.IGNORECASE | re.DOTALL,
         )
-        if om and "*" not in select_list:
+        # a top-level wildcard item (* / t.*) already exposes every base
+        # column — test the split items, not the raw text, which would trip
+        # on COUNT(*) (found by the QUALIFY fuzzer)
+        has_wildcard = any(
+            it.strip() == "*" or it.strip().endswith(".*")
+            for it in _split_top_level_commas(
+                re.sub(r"^\s*SELECT\s+(DISTINCT\s+)?", "", select_list, flags=re.IGNORECASE)
+            )
+        )
+        if om and not has_wildcard:
+            exposed = _select_output_names(select_list)
             for item in _split_top_level_commas(om.group(1)):
                 ident = re.sub(
                     r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b",
@@ -608,12 +644,9 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
                     item,
                     flags=re.IGNORECASE,
                 ).strip().rstrip(";")
-                # conservative: carry only bare identifiers that appear
-                # nowhere in the select-list text (an occurrence inside an
-                # expression may already expose the name)
                 if (
                     re.fullmatch(r"[A-Za-z_]\w*", ident)
-                    and not re.search(rf"\b{ident}\b", select_list, re.IGNORECASE)
+                    and ident.lower() not in exposed
                     and ident not in extra
                 ):
                     extra.append(ident)

@@ -486,3 +486,92 @@ def _datetime_query(draw) -> str:
 @given(sql=_datetime_query())
 def test_engine_matches_duckdb_on_datetime_functions(session, duck, sql):
     _assert_match(session, duck, sql)
+
+
+def _window_expr(draw) -> str:
+    """Deterministic window expressions: every ORDER BY inside an OVER uses
+    the unique key c_custkey (or tie-sharing RANK over a modular key), so
+    both engines must agree row-for-row."""
+    m = draw(st.integers(2, 9))
+    part = draw(
+        st.sampled_from(
+            ["", "PARTITION BY c_nationkey ", f"PARTITION BY (c_custkey % {m}) "]
+        )
+    )
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        lo, hi = draw(st.integers(0, 3)), draw(st.integers(0, 3))
+        return (
+            f"CAST(SUM(c_nationkey) OVER ({part}ORDER BY c_custkey "
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS BIGINT)"
+        )
+    if kind == 1:
+        fn = draw(st.sampled_from(["LAG", "LEAD"]))
+        return (
+            f"CAST({fn}(c_nationkey, {draw(st.integers(1, 3))}) "
+            f"OVER ({part}ORDER BY c_custkey) AS BIGINT)"
+        )
+    if kind == 2:
+        return f"CAST(ROW_NUMBER() OVER ({part}ORDER BY c_custkey) AS BIGINT)"
+    if kind == 3:
+        return f"CAST(RANK() OVER ({part}ORDER BY (c_custkey % {m})) AS BIGINT)"
+    return (
+        f"CAST(COUNT(*) OVER ({part}ORDER BY c_custkey "
+        f"RANGE BETWEEN {draw(st.integers(1, 20))} PRECEDING AND CURRENT ROW) AS BIGINT)"
+    )
+
+
+@st.composite
+def _qualify_query(draw) -> str:
+    """QUALIFY + window frames under fuzz (the round-5 dialect additions):
+    the same text runs natively on DuckDB and through rewrite_qualify on
+    our side — inline desugar, the wrapped retry for windows over SELECT
+    aliases, and the carried-column path for ORDER BY over an unselected
+    base column all get exercised."""
+    pred = draw(_predicate())
+    form = draw(st.integers(0, 3))
+    if form == 0:
+        # window selected AND qualified (inline desugar)
+        win = _window_expr(draw)
+        cmp_op = draw(st.sampled_from(["<=", "=", ">"]))
+        k = draw(st.integers(1, 5))
+        return (
+            f"SELECT c_custkey, {win} AS w FROM customer WHERE {pred} "
+            f"QUALIFY {win} {cmp_op} {k}"
+        )
+    if form == 1:
+        # window over a SELECT alias (the wrapped-retry branch)
+        m = draw(st.integers(2, 9))
+        k = draw(st.integers(1, 4))
+        return (
+            f"SELECT c_custkey, (c_nationkey % {m}) AS g FROM customer "
+            f"WHERE {pred} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY c_custkey) <= {k}"
+        )
+    if form == 2:
+        # ORDER BY an UNSELECTED base column after QUALIFY (carried-column
+        # rewrite); multiset compare, so only the row SET must match
+        win = _window_expr(draw)
+        k = draw(st.integers(1, 5))
+        return (
+            f"SELECT c_custkey, {win} AS w FROM customer WHERE {pred} "
+            f"QUALIFY {win} <= {k} ORDER BY c_nationkey"
+        )
+    # ORDER BY + LIMIT tail over the unique key (deterministic cut)
+    win = _window_expr(draw)
+    k = draw(st.integers(1, 5))
+    n = draw(st.integers(1, 25))
+    return (
+        f"SELECT c_custkey, {win} AS w FROM customer WHERE {pred} "
+        f"QUALIFY {win} <= {k} ORDER BY c_custkey LIMIT {n}"
+    )
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_qualify_query())
+def test_engine_matches_duckdb_on_qualify_and_frames(session, duck, sql):
+    _assert_match(session, duck, sql)
