@@ -539,9 +539,13 @@ def fold_interval_quantity(text: str) -> str:
 
 def _select_output_names(select_list: str) -> set[str]:
     """Lower-cased output column names a ``SELECT <list>`` exposes: the AS
-    alias, a bare or qualified identifier's trailing name, or a simple
-    ``col alias`` (no-AS) pair. Expression items with a no-AS alias are not
-    recognized — their ORDER BY use stays a documented limitation."""
+    alias, a bare or qualified identifier's trailing name, or — for ANY
+    other item — the trailing bare identifier if one exists. The last rule
+    is a deliberate over-approximation (``a + b`` "exposes" b): a false
+    positive merely skips the ORDER BY carry, restoring pre-carry behavior,
+    while a miss used to inject a bogus bare column into the inner select
+    (round-6 advisor finding: no-AS expression aliases like
+    ``count(*) cnt`` followed by ``ORDER BY cnt``)."""
     body = re.sub(r"^\s*SELECT\s+(DISTINCT\s+)?", "", select_list, flags=re.IGNORECASE)
     names: set[str] = set()
     for item in _split_top_level_commas(body):
@@ -552,9 +556,7 @@ def _select_output_names(select_list: str) -> set[str]:
         elif re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", item):
             names.add(item.split(".")[-1].lower())
         else:
-            m2 = re.fullmatch(
-                r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?\s+([A-Za-z_]\w*)", item
-            )
+            m2 = re.search(r"([A-Za-z_]\w*)\s*$", item)
             if m2:
                 names.add(m2.group(1).lower())
     return names
@@ -614,15 +616,21 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
     # "appears anywhere in the select text" shortcut was itself caught by
     # the QUALIFY fuzzer — a column referenced inside a window expression is
     # NOT exposed — so exposure is decided on the parsed OUTPUT names).
-    # Only simple identifiers are carried; ORDER BY over an unselected
-    # *expression* still needs selecting it (documented limitation), as
-    # does the wrap form, whose inner ``SELECT * FROM (<query>)`` has no
-    # base columns left to carry.
-    extra: list[str] = []
+    # Only simple (possibly qualified) identifiers are carried; ORDER BY
+    # over an unselected *expression* still needs selecting it (documented
+    # limitation), as does the wrap form, whose inner
+    # ``SELECT * FROM (<query>)`` has no base columns left to carry.
+    # Qualified ``t.col`` items are carried through the inner select and
+    # the tail reference is rewritten to the bare trailing name — the outer
+    # query only sees ``__qualified``'s output columns, so the qualified
+    # form can never resolve there (round-6 advisor finding: previously
+    # neither carried nor rejected).
+    extra: list[str] = []  # expressions appended to the inner select list
+    extra_names: list[str] = []  # their exposed trailing names, for EXCEPT
     select_list = head[: f]
     if not wrap and tail:
         om = re.match(
-            r"^\s*ORDER\s+BY\s+(.*?)(?=\bLIMIT\b|\bOFFSET\b|$)",
+            r"^(\s*ORDER\s+BY\s+)(.*?)(\bLIMIT\b.*|\bOFFSET\b.*|$)",
             tail,
             re.IGNORECASE | re.DOTALL,
         )
@@ -637,21 +645,51 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
         )
         if om and not has_wildcard:
             exposed = _select_output_names(select_list)
-            for item in _split_top_level_commas(om.group(1)):
-                ident = re.sub(
-                    r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b",
-                    "",
+            carried_from: dict[str, str] = {}  # trailing name -> source ident
+            new_items: list[str] = []
+            tail_changed = False
+            for item in _split_top_level_commas(om.group(2)):
+                mm = re.match(
+                    r"^(\s*)([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+                    r"((?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s*;?\s*)$",
                     item,
-                    flags=re.IGNORECASE,
-                ).strip().rstrip(";")
-                if (
-                    re.fullmatch(r"[A-Za-z_]\w*", ident)
-                    and ident.lower() not in exposed
-                    and ident not in extra
-                ):
+                    re.IGNORECASE,
+                )
+                if not mm:
+                    new_items.append(item)
+                    continue
+                ident = mm.group(2)
+                trailing = ident.split(".")[-1]
+                key = trailing.lower()
+                if key in exposed:
+                    # already an output column; a qualified ref is rewritten
+                    # to the bare output name it resolves to
+                    if "." in ident:
+                        new_items.append(mm.group(1) + trailing + mm.group(3))
+                        tail_changed = True
+                    else:
+                        new_items.append(item)
+                    continue
+                if key in carried_from:
+                    if carried_from[key] != ident:
+                        # two distinct sources would collide on one exposed
+                        # name — leave the item alone (analysis error beats
+                        # a silently wrong sort key)
+                        new_items.append(item)
+                        continue
+                else:
+                    carried_from[key] = ident
                     extra.append(ident)
+                    extra_names.append(trailing)
+                if "." in ident:
+                    new_items.append(mm.group(1) + trailing + mm.group(3))
+                    tail_changed = True
+                else:
+                    new_items.append(item)
+            if tail_changed:
+                tail = om.group(1) + ",".join(new_items) + om.group(3)
     carried = "".join(f", {c}" for c in extra)
-    except_list = ", ".join(["__qual", *extra])
+    except_list = ", ".join(["__qual", *extra_names])
     if wrap:
         inner = (
             f"SELECT *, ({pred}) AS __qual FROM ({head.rstrip()}) __qualify_base"

@@ -66,9 +66,13 @@ def scd2_stream(
         # validity intervals. Clamp the effective timestamp to the open
         # versions' max valid_from; at the clamp point the closed version
         # becomes zero-length (valid_from == valid_to), which scd2_snapshot
-        # correctly never surfaces.
+        # correctly never surfaces. The floor is computed ONLY over open
+        # versions whose key the batch actually touches (round-6 advisor
+        # refinement): an unrelated key's recent valid_from must not inflate
+        # the effective timestamp stamped onto other keys' history.
         floor_ts = (
             dim.filter(F.col("is_current"))
+            .join(latest.select(key_col), on=key_col, how="left_semi")
             .agg(F.max("valid_from"))
             .collect()[0][0]
         )

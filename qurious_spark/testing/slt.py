@@ -238,6 +238,26 @@ def _strip_top_level_limit(sql: str) -> str | None:
     return sql[:i].rstrip().rstrip(";")
 
 
+def _order_tiebreak_sql(sql: str, n_cols: int) -> str | None:
+    """Append every output-column ordinal to the top-level ORDER BY as an
+    explicit ``ASC NULLS FIRST`` tiebreak, keeping the LIMIT/OFFSET tail.
+
+    Under the resulting total order a correct engine must return the rows
+    byte-identically, so re-running both engines on this form verifies the
+    limited result really is a legal top-k (round-6 advisor finding: the
+    multiset fallback alone also masks genuine ordering bugs, e.g. sorting
+    ASC where the query says DESC). NULLS FIRST is spelled out because the
+    engines' default null order differs (Spark: nulls smallest; DuckDB:
+    NULLS LAST)."""
+    from qurious_spark.dialect import _find_top_level_keyword
+
+    i = _find_top_level_keyword(sql, "LIMIT")
+    if i < 0 or n_cols <= 0:
+        return None
+    tiebreak = ", ".join(f"{k} ASC NULLS FIRST" for k in range(1, n_cols + 1))
+    return f"{sql[:i].rstrip()}, {tiebreak} {sql[i:]}"
+
+
 def _compare(
     rec: Record,
     actual: list[list[str]],
@@ -334,7 +354,28 @@ def run_slt_file(path: str, spark=None, sql_rewrite=None, oracle=None) -> SltRes
                             )
                             act2 = sorted(_render_rows(session.sql(unlimited)))
                             if _rows_match(exp2, act2):
-                                err = None
+                                # the multiset check alone would also mask a
+                                # genuine ordering bug (round-6 advisor
+                                # finding) — additionally require the k
+                                # returned rows to be a legal top-k under a
+                                # deterministic full-column tiebreak, where
+                                # both engines must agree byte-for-byte
+                                strict = _order_tiebreak_sql(sql, len(df.columns))
+                                if strict is not None:
+                                    exp3 = [
+                                        [render_cell(v) for v in row]
+                                        for row in oracle.sql(strict).fetchall()
+                                    ]
+                                    act3 = _render_rows(session.sql(strict))
+                                    if _rows_match(exp3, act3):
+                                        err = None
+                                    else:
+                                        err = (
+                                            "tie fallback: unlimited multisets"
+                                            " match but tiebroken top-k differs"
+                                            " (ordering bug, not tie noise)\n"
+                                            + (err or "")
+                                        )
                 else:
                     err = _compare(rec, _render_rows(df))
             elif rec.expect_error:

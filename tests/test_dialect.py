@@ -136,3 +136,48 @@ def test_rewrite_qualify_carries_unselected_order_by_column():
         "ORDER BY v"
     )
     assert "EXCEPT (__qual)" in rewrite_qualify(sql2)
+
+
+def test_rewrite_qualify_no_as_alias_is_exposed():
+    """Round-6 advisor finding: a no-AS expression alias (``count(*) cnt``)
+    followed by ``ORDER BY cnt`` must NOT be treated as an unexposed base
+    column — the old rewrite appended a bare ``cnt`` to the inner select,
+    which does not resolve there."""
+    from qurious_spark.dialect import rewrite_qualify
+
+    sql = (
+        "SELECT grp, count(*) cnt FROM t GROUP BY grp "
+        "QUALIFY row_number() OVER (ORDER BY count(*) DESC) <= 5 "
+        "ORDER BY cnt DESC"
+    )
+    out = rewrite_qualify(sql)
+    assert "EXCEPT (__qual)" in out  # nothing carried
+    assert "cnt, (" in out.replace("  ", " ")  # select list intact, no bare cnt appended
+
+
+def test_rewrite_qualify_qualified_order_by_items():
+    """Qualified ``t.col`` ORDER BY items: carried (unselected) or rewritten
+    to the bare output name (selected) — previously neither, so the outer
+    ORDER BY t.col never resolved against __qualified."""
+    from qurious_spark.dialect import rewrite_qualify
+
+    # unselected base column, qualified: carried as t.k, exposed/EXCEPTed
+    # as k, tail rewritten to the bare name
+    sql = (
+        "SELECT grp, v FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1 "
+        "ORDER BY t.k DESC"
+    )
+    out = rewrite_qualify(sql)
+    assert ", t.k," in out.replace("  ", " ")
+    assert "EXCEPT (__qual, k)" in out
+    assert out.rstrip().endswith("ORDER BY k DESC")
+    # selected column referenced qualified: no carry, tail rewritten
+    sql2 = (
+        "SELECT grp, v FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v) = 1 "
+        "ORDER BY t.v"
+    )
+    out2 = rewrite_qualify(sql2)
+    assert "EXCEPT (__qual)" in out2
+    assert out2.rstrip().endswith("ORDER BY v")

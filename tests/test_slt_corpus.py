@@ -161,15 +161,31 @@ def test_quoted_identifiers_do_not_force_ordered_compare():
 
 class _TieBreakOracle:
     """DuckDB wrapper that answers ordered-LIMIT queries with a DIFFERENT
-    (but equally legal) tied top-k, simulating a tie at the cutoff."""
+    (but equally legal) tied top-k, simulating a tie at the cutoff. The
+    harness's strict re-run appends explicit NULLS FIRST ordinal tiebreaks
+    (a total order, under which a real engine has no tie freedom), so the
+    simulation only applies to queries without them."""
 
     def __init__(self, con):
         self.con = con
 
     def sql(self, q):
-        if "LIMIT" in q.upper() and "ORDER BY" in q.upper():
+        if "LIMIT" in q.upper() and "ORDER BY" in q.upper() and "NULLS FIRST" not in q:
             q = q.replace("ORDER BY v DESC", "ORDER BY v DESC, k DESC")
         return self.con.sql(q)
+
+
+class _OrderBugOracle:
+    """DuckDB wrapper that disagrees with the engine on sort DIRECTION for
+    every query — from the harness's viewpoint this is indistinguishable
+    from the engine sorting ASC where the query says DESC (the round-6
+    advisor scenario the multiset fallback used to mask)."""
+
+    def __init__(self, con):
+        self.con = con
+
+    def sql(self, q):
+        return self.con.sql(q.replace("ORDER BY v DESC", "ORDER BY v ASC"))
 
 
 def test_oracle_ordered_limit_tie_fallback(spark, tmp_path):
@@ -205,3 +221,14 @@ def test_oracle_ordered_limit_tie_fallback(spark, tmp_path):
     con2.sql("INSERT INTO tie_t VALUES (1, 99), (2, 10), (3, 10), (4, 0)")
     r2 = run_slt_file(str(slt), spark, oracle=_TieBreakOracle(con2))
     assert not r2.ok
+
+    # negative control 2 (round-6 advisor finding): a genuine ORDERING bug
+    # — wrong direction returns the wrong k rows, yet the unlimited
+    # multisets agree — must NOT be rescued by the multiset fallback: the
+    # tiebroken strict re-run catches the divergence
+    con3 = duckdb.connect()
+    con3.sql("CREATE TABLE tie_t (k BIGINT, v BIGINT)")
+    con3.sql("INSERT INTO tie_t VALUES (1, 10), (2, 10), (3, 10), (4, 0)")
+    r3 = run_slt_file(str(slt), spark, oracle=_OrderBugOracle(con3))
+    assert not r3.ok
+    assert "ordering bug" in "\n".join(r3.failures)

@@ -568,3 +568,52 @@ def test_scd2_stream_clamps_late_batch_timestamp(spark, tmp_path):
     assert closed.valid_to == dt.datetime(2024, 5, 1)  # clamped, not 2024-01-01
     new = [r for r in rows if r.is_current][0]
     assert new.seg == "B" and new.valid_from == dt.datetime(2024, 5, 1)
+
+
+def test_scd2_stream_clamp_floor_only_over_touched_keys(spark, tmp_path):
+    """Round-6 advisor refinement: the monotonicity floor is the max
+    valid_from of the open versions the batch TOUCHES — an unrelated key
+    opened more recently than the batch's event time must not inflate the
+    effective timestamp stamped onto other keys."""
+    import datetime as dt
+    import glob as g
+    import shutil
+
+    from qurious_spark.session import Session
+    from qurious_spark.streaming import scd2_stream
+
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS scd_floor")
+    s.sql(
+        "CREATE TABLE scd_floor (k BIGINT, seg VARCHAR, "
+        "valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN)"
+    )
+    # key 1 open since May 1; key 2 open since June 1 (the decoy)
+    s.sql(
+        "INSERT INTO scd_floor VALUES "
+        "(1, 'A', TIMESTAMP '2024-05-01', NULL, TRUE), "
+        "(2, 'X', TIMESTAMP '2024-06-01', NULL, TRUE)"
+    )
+    upd_dir = tmp_path / "upd"
+    upd_dir.mkdir()
+    schema = "k bigint, seg string, ts timestamp"
+    # batch touches ONLY key 1, at a time after key 1's valid_from but
+    # before key 2's — no clamp is warranted
+    tmp = str(tmp_path / "tmp_b1")
+    spark.createDataFrame(
+        [(1, "B", dt.datetime(2024, 5, 15))], schema
+    ).coalesce(1).write.parquet(tmp)
+    shutil.move(g.glob(tmp + "/part-*.parquet")[0], str(upd_dir / "b1.parquet"))
+    stream = spark.readStream.schema(schema).parquet(str(upd_dir))
+    scd2_stream(stream, s, "scd_floor", "k", ["seg"], "ts", str(tmp_path / "ckpt"))
+
+    rows = s.sql("SELECT * FROM scd_floor").collect()
+    closed = [r for r in rows if not r.is_current]
+    assert len(closed) == 1 and closed[0].k == 1
+    # stamped with the batch's OWN event time, not key 2's valid_from
+    assert closed[0].valid_to == dt.datetime(2024, 5, 15)
+    k1_new = [r for r in rows if r.is_current and r.k == 1][0]
+    assert k1_new.seg == "B" and k1_new.valid_from == dt.datetime(2024, 5, 15)
+    k2 = [r for r in rows if r.k == 2]
+    assert len(k2) == 1 and k2[0].is_current and k2[0].seg == "X"
+    s.sql("DROP TABLE scd_floor")
