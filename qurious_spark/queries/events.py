@@ -215,16 +215,15 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAGED_EVENTS: dict[tuple[int, str], str] = {}
 
 
-def _staged_events_stream(spark: SparkSession, sf_dir: str):
-    """Stage the events table into a directory and open it as a file-source
-    stream (file streams read directories, not single files). The staging
-    write runs ONCE per (session, sf_dir) — the three stream queries share
-    it instead of each rewriting the table into a fresh tempdir."""
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table into a directory for file-source streams
+    (file streams read directories, not single files). The staging write
+    runs ONCE per (session, sf_dir) — the stream queries share it instead
+    of each rewriting the table into a fresh tempdir."""
     import os
     import tempfile
 
     from qurious_spark.sources.readers import read_parquet
-    from qurious_spark.streaming import read_events_stream
 
     key = (id(spark), sf_dir)
     d = _STAGED_EVENTS.get(key)
@@ -234,7 +233,13 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str):
             4
         ).write.mode("overwrite").parquet(d)
         _STAGED_EVENTS[key] = d
-    return read_events_stream(spark, d)
+    return d
+
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str):
+    from qurious_spark.streaming import read_events_stream
+
+    return read_events_stream(spark, _staged_events_dir(spark, sf_dir))
 
 
 @df_query(
@@ -561,4 +566,107 @@ def events_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("key", "bucket", "observed", "v_filled")
+    )
+
+
+@df_query(
+    "events_stream_heavy_hitters",
+    # Exact oracle: the streaming Misra-Gries stage only proposes a candidate
+    # SUPERSET (guaranteed to contain every key with freq >= ratio * n for
+    # ratio >= 1/capacity); the exact recount over the archived table makes
+    # the final answer deterministic regardless of summary noise — the same
+    # two-pass contract as the batch heavy_hitters_events entry.
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM events
+    GROUP BY event_type
+    HAVING CAST(COUNT(*) AS DOUBLE)
+           >= CAST(0.199 AS DOUBLE) * (SELECT COUNT(*) FROM events)
+    ORDER BY event_type
+    """,
+)
+def events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (streaming/heavyhitters.py) on
+    the hard signal: the staged event stream drains through sharded
+    ``applyInPandasWithState`` summaries (constant-size state: n_shards x
+    capacity counters, no watermark needed), the latest per-shard emission
+    yields the candidate keys, and an exact recount over the archived batch
+    table keeps only keys with frequency >= 0.199 * n. Since every
+    occurrence of a key lands in one shard, any key with global frequency
+    > shard_n / capacity survives its shard's summary — 0.199 >> 1/64, so
+    the candidate set provably contains every answer key."""
+    from qurious_spark.streaming import run_to_memory
+    from qurious_spark.streaming.heavyhitters import stream_heavy_hitter_candidates
+
+    stream = _staged_events_stream(spark, sf_dir)
+    cands = stream_heavy_hitter_candidates(
+        stream, "event_type", capacity=64, n_shards=8
+    )
+    name = f"q_stream_hh_{next(_STREAM_RUNS)}"
+    from pyspark.sql import Window
+
+    emissions = run_to_memory(cands, name, output_mode="update")
+    # latest emission per shard = rows carrying the shard's max seq
+    # (partitioned window over the tiny memory table — n_shards x capacity
+    # rows per emission; a self-join against its own aggregate trips
+    # Spark's conflicting-attribute check on memory-sink tables)
+    latest = (
+        emissions.withColumn(
+            "mseq", F.max("seq").over(Window.partitionBy("shard"))
+        )
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("key")
+        .distinct()
+    )
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    return (
+        ev.select("event_type")
+        .join(F.broadcast(latest), F.col("event_type") == F.col("key"), "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("freq").cast("double") >= F.lit(0.199) * F.lit(float(n)))
+        .orderBy("event_type")
+    )
+
+
+@df_query(
+    "events_stream_rollup_merge",
+    # The rollup table after a full drain must equal the plain batch groupBy
+    # — MERGE-accumulated partials are associative for count/sum. ROUND(,4)
+    # on both sides absorbs float-accumulation-order noise.
+    """
+    SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id ORDER BY key
+    """,
+)
+def events_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE rollup (streaming/rollup.py) on the hard signal: a
+    continuously-maintained aggregate table fed by stream micro-batches —
+    each batch computes its tiny partial aggregate and upserts it via MERGE
+    INTO (matched keys accumulate, new keys insert). maxFilesPerTrigger=1
+    forces 4 separate MERGE batches over the staged files, so the test
+    exercises real accumulation, not a single-batch degenerate. State lives
+    in the queryable table, not stream memory — the streaming query itself
+    is stateless and restarts resume from sink offsets."""
+    import tempfile
+
+    from qurious_spark.session import Session
+    from qurious_spark.streaming import read_events_stream
+    from qurious_spark.streaming.rollup import incremental_count_rollup
+
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS stream_rollup")
+    s.sql(
+        "CREATE TABLE stream_rollup "
+        "(key BIGINT, n_events BIGINT, total_value DOUBLE)"
+    )
+    d = _staged_events_dir(spark, sf_dir)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    ckpt = tempfile.mkdtemp(prefix="q_rollup_ckpt_")
+    incremental_count_rollup(stream, s, "stream_rollup", "user_id", "value", ckpt)
+    return s.sql(
+        "SELECT key, n_events, ROUND(total_value, 4) AS total_value "
+        "FROM stream_rollup ORDER BY key"
     )
