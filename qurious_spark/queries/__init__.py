@@ -138,107 +138,103 @@ def load_all() -> None:
 # Everything outside the prefix keeps registration order and stays covered
 # by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-6 rotation (the big one — VERDICT r5 task 1): ALL 50 slots were
-    # green in CORRECTNESS_r05, so 20 singletons whose families keep either
-    # an in-window rep or a cumulative driver-green row rotate out for 20
-    # never-driver-checked entries, prioritizing the TPC-H tail (q2-q22 had
-    # never been windowed; reference qurious/tests/tpch/*.slt is the
-    # semantics anchor). Rotated out, with the family cover in parens:
-    # tpch_q11_partsupp (partsupp r5 green; 10 TPC-H entries now in-window),
-    # wildcard_qualified (r5 green), join_left_semi/join_left_anti (r5
-    # green; join_full_outer stays), is_null_checks (stale-ledger purpose
-    # served r5), recursive_cte_months (r5 green; cte_query r4 green),
-    # events_stream_session (r5 green; sliding+gapfill+interval join stay),
-    # udf_vectorized (r5 green; udaf_grouped_agg takes the UDx slot),
-    # agg_distinct + having_filter (r5 green; agg_basic+rollup_agg stay),
-    # dedup_simhash_pairs + dedup_resolve (r5 green; exact/minhash/
-    # incremental stay, dedup_clusters in), multimodal_image_features (r5
-    # green; media_stats stays), text_chunk_documents + text_length_filter
-    # (r5 green; winnow pair stays, duplicate_spans in), pipeline_split_train
-    # + pipeline_decontaminate (r5 green; pack_bins+training_data stay),
-    # sample_stratified_hash (r5 green), sketch_bitmap_distinct (r5 green;
-    # sketch_hll_rollup in), heavy_hitters_ngrams (r5 green; events variant
-    # r3 green).
+    # Round-7 rotation (third 20+-slot swap — VERDICT r6 task 1): ALL 50
+    # slots were green in CORRECTNESS_r06, so 29 r6-green singletons rotate
+    # out for 29 never-driver-checked entries — the TPC-H middle (q4-q22 +
+    # the three partsupp variants), the window singles, the six
+    # scalar-function families, sketch_quantiles, the multimodal
+    # frame/audio decodes, streaming SCD2, and the newly-registered
+    # incremental MERGE rollup. Rotated out, with family cover in parens:
+    # tpch_q2/q3/q5/q6/q7/q9/q12/q17/q19/q21 (all r6 green; q1 + 14 TPC-H
+    # middle entries in-window), window_rank_dense + window_qualify (r6
+    # green; 4 window singles in), string/date_functions (r6 green; 6
+    # sibling families in), except_keys (r6; intersect r3), udaf_grouped_agg
+    # (r6; udf_vectorized r5), dedup_clusters + dedup_incremental (r6;
+    # exact+minhash stay), sketch_hll_rollup (r6; sketch_quantiles in),
+    # text_duplicate_spans (r6; winnow_fingerprints stays),
+    # dml_scd2_dimension (r6; dml_scd2_stream in), events_stream_interval_
+    # join (r6; sliding+gapfill stay, rollup_merge in), multimodal_media_
+    # stats (r5+r6; frame_sample+audio_features in), events_funnel (r5+r6),
+    # source_copy_tbl + source_orc_roundtrip (r5+r6; csv+uint stay),
+    # rollup_agg (r5+r6; agg_basic stays), text_winnow_overlap (r5+r6;
+    # fingerprints stays), range_join_binned (r5+r6; fuzzy_join stays).
     "tpch_q1",
     "dml_roundtrip",
     "dml_update_from",
-    # §2.2 sources: CSV + COPY TO + read_csv fn / COPY FROM .tbl,
-    # uint-typed parquet, ORC, information_schema catalog
+    # §2.2 sources: CSV + COPY TO + read_csv fn, uint-typed parquet, catalog
     "source_csv_roundtrip",
-    "source_copy_tbl",
     "source_uint_parquet",
-    "source_orc_roundtrip",
     "catalog_information_schema",
-    # §2.5 windows, set ops, streaming, UDx — window_qualify (newest
-    # dialect surface), except_keys (set-op family's first driver check),
-    # udaf_grouped_agg (grouped-agg pandas UDAF), the new stream-stream
-    # interval join (VERDICT r5 task 7)
-    "window_rank_dense",
-    "window_qualify",
-    "except_keys",
+    # §2.5 windows — the four never-checked singles take the family's slots
+    "window_row_number",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_ntile_percent",
+    # §2.5 streaming: watermarked sliding agg + stateful gapfill stay as
+    # anchors; streaming SCD2 and the MERGE rollup get first checks
     "events_stream_sliding",
     "events_stream_gapfill",
-    "events_stream_interval_join",
-    "udaf_grouped_agg",
+    "events_stream_rollup_merge",
+    "dml_scd2_stream",
     # §2.1 joins: full-outer NULL handling stays as the discriminating case
     "join_full_outer",
-    # §2.3 expression suites + the scalar-function families' first checks
+    # §2.3 expression suites + the six never-checked function families
     "predicate_suite",
     "scalar_suite",
     "subquery_suite",
-    "string_functions",
-    "date_functions",
+    "math_functions",
+    "conditional_functions",
+    "regexp_functions",
+    "array_functions",
+    "string_agg",
+    "hash_functions",
     # §2.4 aggregates
     "agg_basic",
-    "rollup_agg",
-    # TPC-H tail — first driver checks ever (local-gate green since r2-r3):
-    # q2 nested-subquery min-cost, q3 join+topn, q5 6-way join, q6
-    # filter-agg, q7 cross-year shipping, q9 profit by nation/year, q12
-    # CASE agg, q17 correlated scalar subquery, q19 disjunctive predicates,
-    # q21 multi-EXISTS/NOT-EXISTS
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q21",
+    # TPC-H middle — first driver checks ever (local-gate green since
+    # r2-r3): q4 EXISTS agg, q8 market share (CASE over 8-way join), q10
+    # returns top-20, q11 broadcast-scalar HAVING, q13 left-join count
+    # distribution, q14 promo revenue, q15 view-equivalent max-revenue
+    # supplier, q16 NOT IN + count-distinct, q18 large-order semi-join, q20
+    # nested IN chains, q22 anti-join + avg subquery; plus the partsupp
+    # variants of q2/q16/q20
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q2_partsupp",
+    "tpch_q16_partsupp",
+    "tpch_q20_partsupp",
     # LLM-pipeline families (one per VERDICT table row)
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_incremental",
-    "dedup_clusters",
     "ann_lsh_topk",
     "embedding_semdedup",
-    "multimodal_media_stats",
-    "sketch_hll_rollup",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "sketch_quantiles",
     "pipeline_pack_bins",
     "pipeline_training_data",
-    "events_funnel",
     "text_fuzzy_join",
-    "range_join_binned",
     "text_winnow_fingerprints",
-    "text_winnow_overlap",
-    # round-5 additions, local-gate green since registration
-    "dml_scd2_dimension",
-    "text_duplicate_spans",
 )
 
-# Round-7 rotation candidates (green singletons whose families retain
-# coverage): the ten TPC-H entries above once green (swap for q4, q8, q10,
-# q13-q16, q18, q20, q22 and the partsupp variants), window_qualify ->
-# window_row_number/lag_lead/range_frame, string/date -> math/regexp/array/
-# hash/conditional/string_agg, sketch_hll_rollup -> sketch_quantiles/
-# approx_distinct, plus the never-checked pipeline entries
-# (psi_drift, quality_checks, profile, shard_counts), sampling variants
-# (sample_weighted_ares, sample_topk_per_source), multimodal frame/audio,
-# vector entries (vector_norms, ann_topk_bruteforce/ivf/pq,
-# embedding_centroids), events singles, dedup_minhash_signatures/
-# simhash_fingerprints/minhash_ml/stream_exact, text singles, and
-# dml_scd2_stream.
+# Round-8 ENDGAME rotation (see GAPS.md): after r7, 32 entries remain
+# never-checked — exactly the 7 events singles, 7 text singles, 4 dedup
+# variants, 6 vector/ANN entries, sketch_approx_distinct, 2 sampling
+# variants, 4 pipeline ops, and events_stream_heavy_hitters. All 32 fit in
+# one 50-slot window alongside 18 family anchors (tpch_q1, dml_roundtrip,
+# source_csv_roundtrip, agg_basic, predicate/scalar/subquery suites,
+# join_full_outer, window_row_number, events_stream_sliding, dedup_exact,
+# dedup_minhash_pairs, ann_lsh_topk, embedding_semdedup, pipeline_pack_bins,
+# pipeline_training_data, text_fuzzy_join, text_winnow_fingerprints) — the
+# r8 swap clears the never-checked backlog to ZERO.
 
 
 def ordered_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
