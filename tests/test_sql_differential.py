@@ -575,3 +575,203 @@ def _qualify_query(draw) -> str:
 @given(sql=_qualify_query())
 def test_engine_matches_duckdb_on_qualify_and_frames(session, duck, sql):
     _assert_match(session, duck, sql)
+
+
+# --------------------------------------------------------------------------- #
+# MERGE / UPDATE ... FROM differential fuzz (round-6 task: the merge-arm
+# rewrite was the least-fuzzed nontrivial dialect surface). DuckDB 1.0 has
+# no native MERGE, so the oracle is a pure-Python reference model of the
+# SQL:2003 semantics (first-match-wins arm chains, three-valued arm
+# conditions, NULL join keys never matching, insert-column reordering,
+# missing insert columns defaulting) — an independent implementation, so a
+# divergence is a genuine engine bug, not shared code agreeing with itself.
+# --------------------------------------------------------------------------- #
+
+# matched-arm conditions: (sql with {t} target-alias placeholder, model fn)
+_M_CONDS = [
+    (None, lambda tk, tv, sk, sv: True),
+    ("s.v % 2 = 0", lambda tk, tv, sk, sv: sv is not None and sv % 2 == 0),
+    ("{t}.v > 50", lambda tk, tv, sk, sv: tv is not None and tv > 50),
+    ("s.v > {t}.v", lambda tk, tv, sk, sv: sv is not None and tv is not None and sv > tv),
+    ("{t}.v IS NULL", lambda tk, tv, sk, sv: tv is None),
+]
+# UPDATE SET v = <expr>: (sql, model fn over (tv, sv))
+_UPD_EXPRS = [
+    ("s.v", lambda tv, sv: sv),
+    ("{t}.v + s.v", lambda tv, sv: None if tv is None or sv is None else tv + sv),
+    ("s.v * 2", lambda tv, sv: None if sv is None else sv * 2),
+    ("NULL", lambda tv, sv: None),
+    ("{t}.v - 1", lambda tv, sv: None if tv is None else tv - 1),
+]
+# not-matched-arm conditions over the source row
+_NM_CONDS = [
+    (None, lambda sk, sv: True),
+    ("s.v > 50", lambda sk, sv: sv is not None and sv > 50),
+    ("s.k IS NOT NULL", lambda sk, sv: sk is not None),
+    ("s.v % 3 = 0", lambda sk, sv: sv is not None and sv % 3 == 0),
+]
+# insert forms: (sql, model fn -> inserted (k, v))
+_INS_FORMS = [
+    ("INSERT (k, v) VALUES (s.k, s.v)", lambda sk, sv: (sk, sv)),
+    ("INSERT (k, v) VALUES (s.k, s.v + 100)", lambda sk, sv: (sk, None if sv is None else sv + 100)),
+    ("INSERT (v, k) VALUES (s.v, s.k)", lambda sk, sv: (sk, sv)),
+    ("INSERT (k) VALUES (s.k)", lambda sk, sv: (sk, None)),  # v <- no default -> NULL
+    ("INSERT *", lambda sk, sv: (sk, sv)),
+]
+
+_ROW = st.tuples(
+    st.one_of(st.none(), st.integers(1, 6)),
+    st.one_of(st.none(), st.integers(0, 100)),
+)
+
+
+@st.composite
+def _merge_scenario(draw):
+    target = draw(st.lists(_ROW, max_size=8))
+    raw_src = draw(st.lists(_ROW, max_size=8))
+    # unique non-null source keys (the SQL cardinality rule rejects a target
+    # row matching two source rows — covered by its own deterministic test);
+    # NULL source keys may repeat (they never match anything)
+    seen, srows = set(), []
+    for k, v in raw_src:
+        if k is not None:
+            if k in seen:
+                continue
+            seen.add(k)
+        srows.append((k, v))
+    n_m = draw(st.integers(0, 2))
+    n_nm = draw(st.integers(0 if n_m else 1, 2))  # at least one arm total
+    m_arms = [
+        (
+            draw(st.sampled_from(_M_CONDS)),
+            draw(st.sampled_from([("delete", None)] + [("update", e) for e in _UPD_EXPRS])),
+        )
+        for _ in range(n_m)
+    ]
+    nm_arms = [
+        (draw(st.sampled_from(_NM_CONDS)), draw(st.sampled_from(_INS_FORMS)))
+        for _ in range(n_nm)
+    ]
+    return target, srows, m_arms, nm_arms
+
+
+def _merge_model(target, srows, m_arms, nm_arms):
+    """Pure-Python SQL:2003 MERGE semantics over (k, v) row lists."""
+    out = []
+    for tk, tv in target:
+        match = None
+        if tk is not None:
+            match = next(((sk, sv) for sk, sv in srows if sk == tk), None)
+        w = None
+        if match is not None:
+            for arm in m_arms:
+                (cond_sql, cond_fn), (action, expr) = arm
+                if cond_fn(tk, tv, match[0], match[1]):
+                    w = arm
+                    break
+        if w is None:
+            out.append((tk, tv))
+            continue
+        (_, _), (action, expr) = w
+        if action == "delete":
+            continue
+        out.append((tk, expr[1](tv, match[1])))
+    for sk, sv in srows:
+        if sk is not None and any(tk == sk for tk, tv in target):
+            continue
+        for (cond_sql, cond_fn), (ins_sql, ins_fn) in nm_arms:
+            if cond_fn(sk, sv):
+                out.append(ins_fn(sk, sv))
+                break
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def _lit(x) -> str:
+    return "NULL" if x is None else str(x)
+
+
+def _build_tables(session, target, srows):
+    session.sql("DROP TABLE IF EXISTS fz_t")
+    session.sql("DROP TABLE IF EXISTS fz_s")
+    session.sql("CREATE TABLE fz_t (k INT, v INT)")
+    session.sql("CREATE TABLE fz_s (k INT, v INT)")
+    if target:
+        session.sql(
+            "INSERT INTO fz_t VALUES "
+            + ", ".join(f"({_lit(k)}, {_lit(v)})" for k, v in target)
+        )
+    if srows:
+        session.sql(
+            "INSERT INTO fz_s VALUES "
+            + ", ".join(f"({_lit(k)}, {_lit(v)})" for k, v in srows)
+        )
+
+
+def _final_state(session):
+    return sorted(
+        ((r.k, r.v) for r in session.sql("SELECT k, v FROM fz_t").collect()),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario=_merge_scenario())
+def test_merge_matches_reference_model(session, scenario):
+    target, srows, m_arms, nm_arms = scenario
+    _build_tables(session, target, srows)
+    sql = "MERGE INTO fz_t t USING fz_s s ON t.k = s.k"
+    for (cond_sql, _), (action, expr) in m_arms:
+        c = f" AND {cond_sql.format(t='t')}" if cond_sql else ""
+        if action == "delete":
+            sql += f" WHEN MATCHED{c} THEN DELETE"
+        else:
+            sql += f" WHEN MATCHED{c} THEN UPDATE SET v = {expr[0].format(t='t')}"
+    for (cond_sql, _), (ins_sql, _) in nm_arms:
+        c = f" AND {cond_sql}" if cond_sql else ""
+        sql += f" WHEN NOT MATCHED{c} THEN {ins_sql}"
+    session.sql(sql)
+    assert _final_state(session) == _merge_model(target, srows, m_arms, nm_arms), sql
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scenario=_merge_scenario(),
+    cond_i=st.integers(0, len(_M_CONDS) - 1),
+    expr_i=st.integers(0, len(_UPD_EXPRS) - 1),
+)
+def test_update_from_matches_reference_model(session, scenario, cond_i, expr_i):
+    """UPDATE ... FROM desugars to a single-arm MERGE (dialect.py); the
+    extra WHERE conjunct lands in the ON condition, which for an
+    update-only statement is semantically the same as an arm condition."""
+    target, srows, _, _ = scenario
+    cond_sql, _ = _M_CONDS[cond_i]
+    expr = _UPD_EXPRS[expr_i]
+    _build_tables(session, target, srows)
+    c = f" AND {cond_sql.format(t='fz_t')}" if cond_sql else ""
+    session.sql(
+        f"UPDATE fz_t SET v = {expr[0].format(t='fz_t')} "
+        f"FROM fz_s s WHERE fz_t.k = s.k{c}"
+    )
+    m_arms = [((cond_sql, _M_CONDS[cond_i][1]), ("update", expr))]
+    assert _final_state(session) == _merge_model(target, srows, m_arms, [])
+
+
+def test_merge_rejects_multi_match(session):
+    """A target row matching two source rows is nondeterministic — the
+    engine must refuse (DuckDB and SQL:2003 agree; Postgres UPDATE FROM
+    picks arbitrarily, which a deterministic engine must not)."""
+    _build_tables(session, [(1, 10)], [])
+    session.sql("INSERT INTO fz_s VALUES (1, 1), (1, 2)")
+    with pytest.raises(Exception, match="more than one source row"):
+        session.sql(
+            "MERGE INTO fz_t t USING fz_s s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
