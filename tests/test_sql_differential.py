@@ -529,7 +529,27 @@ def _qualify_query(draw) -> str:
     aliases, and the carried-column path for ORDER BY over an unselected
     base column all get exercised."""
     pred = draw(_predicate())
-    form = draw(st.integers(0, 3))
+    form = draw(st.integers(0, 5))
+    if form == 4:
+        # no-AS expression alias referenced by the ORDER BY tail (round-6
+        # advisor scenario: the alias is exposed, nothing must be carried)
+        k = draw(st.integers(1, 5))
+        return (
+            f"SELECT c_nationkey, COUNT(*) cnt FROM customer WHERE {pred} "
+            f"GROUP BY c_nationkey "
+            f"QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_nationkey) <= {k} "
+            f"ORDER BY cnt DESC, c_nationkey"
+        )
+    if form == 5:
+        # qualified t.col ORDER BY items — carried (unselected) or rewritten
+        # to the bare output name (selected)
+        win = _window_expr(draw)
+        k = draw(st.integers(1, 5))
+        col = draw(st.sampled_from(["customer.c_nationkey", "customer.c_custkey"]))
+        return (
+            f"SELECT c_custkey, {win} AS w FROM customer WHERE {pred} "
+            f"QUALIFY {win} <= {k} ORDER BY {col}"
+        )
     if form == 0:
         # window selected AND qualified (inline desugar)
         win = _window_expr(draw)
