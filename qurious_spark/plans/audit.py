@@ -14,6 +14,9 @@ plan IS the scale story, so we lint it mechanically.  For each
 - **global_window**: an unpartitioned Window node (child distribution
   SinglePartition — the round-2 tpch_q11 scale-killer) outside the
   bounded-by-construction allowlist;
+- **driver_hash_hazard**: array/map-typed or decimal(20,0) output columns,
+  which the round driver's result canonicalizer cannot hash stably
+  (see the queries/__init__.py driver-contract docstring);
 - informational: shuffle count, scan count, per-scan column width (pruning).
 
 Run: ``python -m qurious_spark.plans.audit [--sf DIR] [--only a,b]``;
@@ -154,6 +157,18 @@ def audit_df(name: str, df: DataFrame) -> tuple[list[Finding], dict]:
     py_nodes = [n for n in _PYTHON_NODES if n in plan]
     if py_nodes and name not in ALLOW_PYTHON:
         findings.append(Finding(name, "python_eval", ", ".join(py_nodes)))
+    # driver-hash hazards: the round driver's pandas canonicalizer crashes
+    # on list/map cells and its value-hash is representation-sensitive for
+    # 20-digit decimals (registry docstring; r4 multimodal_image_features
+    # and r1-r4 source_uint_parquet lessons). No allowlist — serialize on
+    # both sides instead.
+    hazard_cols = [
+        f"{c}:{t}"
+        for c, t in df.dtypes
+        if t.startswith(("array", "map")) or t == "decimal(20,0)"
+    ]
+    if hazard_cols:
+        findings.append(Finding(name, "driver_hash_hazard", ", ".join(hazard_cols)))
     if summary["codegen_stages"] == 0 and not py_nodes and summary["scans"]:
         findings.append(Finding(name, "no_codegen", "no WholeStageCodegen span"))
     info = {

@@ -164,10 +164,14 @@ sql_query(
 
 sql_query(
     "array_functions",
+    # arrays are serialized to comma-joined strings on BOTH sides: the
+    # driver's pandas canonicalizer crashes on list-typed cells (the r4
+    # multimodal_image_features lesson — see the registry docstring)
     """
     SELECT l_orderkey,
-           array_sort(collect_list(l_linenumber)) AS line_nums,
-           array_sort(collect_set(l_returnflag)) AS flags,
+           array_join(transform(array_sort(collect_list(l_linenumber)),
+                                x -> CAST(x AS STRING)), ',') AS line_nums,
+           array_join(array_sort(collect_set(l_returnflag)), ',') AS flags,
            size(collect_list(l_linenumber)) AS n_lines,
            array_max(collect_list(CAST(l_quantity AS BIGINT))) AS max_q,
            array_min(collect_list(CAST(l_quantity AS BIGINT))) AS min_q
@@ -175,8 +179,9 @@ sql_query(
     """,
     duck_sql="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_nums,
-           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           array_to_string(list_transform(list_sort(list(l_linenumber)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS line_nums,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
            CAST(len(list(l_linenumber)) AS INT) AS n_lines,
            list_max(list(CAST(l_quantity AS BIGINT))) AS max_q,
            list_min(list(CAST(l_quantity AS BIGINT))) AS min_q
