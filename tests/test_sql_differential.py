@@ -795,3 +795,120 @@ def test_merge_rejects_multi_match(session):
             "MERGE INTO fz_t t USING fz_s s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET v = s.v"
         )
+
+
+@st.composite
+def _recursive_cte_query(draw) -> str:
+    """WITH RECURSIVE over a bounded integer counter: arithmetic and string
+    accumulators, an optional join against a base table in the recursive
+    step, and an aggregated or plain final select. Counters are strictly
+    increasing with a bound <= 40, so both engines terminate; all output
+    is BIGINT/VARCHAR (engine-neutral)."""
+    start = draw(st.integers(0, 3))
+    step = draw(st.integers(1, 3))
+    bound = draw(st.integers(5, 40))
+    shape = draw(st.integers(0, 3))
+    if shape == 0:
+        cte = (
+            f"seq(n, acc) AS ("
+            f"SELECT CAST({start} AS BIGINT), CAST({start} AS BIGINT) "
+            f"UNION ALL SELECT n + {step}, acc + n + {step} FROM seq "
+            f"WHERE n < {bound})"
+        )
+        body = "SELECT n, acc FROM seq"
+    elif shape == 1:
+        # STRING: accepted by both engines (Spark rejects bare VARCHAR)
+        cte = (
+            f"seq(n, s) AS ("
+            f"SELECT CAST({start} AS BIGINT), CAST('x' AS STRING) "
+            f"UNION ALL SELECT n + {step}, s || 'x' FROM seq "
+            f"WHERE n < {bound})"
+        )
+        body = "SELECT n, s FROM seq"
+    elif shape == 2:
+        # join the recursive reference against a base table each step
+        cte = (
+            f"seq(n, acc) AS ("
+            f"SELECT CAST({start} AS BIGINT), CAST(0 AS BIGINT) "
+            f"UNION ALL SELECT seq.n + {step}, acc + r.r_regionkey FROM seq "
+            f"JOIN region r ON r.r_regionkey = seq.n % 5 "
+            f"WHERE seq.n < {bound})"
+        )
+        body = "SELECT n, acc FROM seq"
+    else:
+        cte = (
+            f"seq(n) AS (SELECT CAST({start} AS BIGINT) "
+            f"UNION ALL SELECT n + {step} FROM seq WHERE n < {bound})"
+        )
+        body = (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(n) AS BIGINT) AS total, "
+            "CAST(MAX(n) AS BIGINT) AS top FROM seq"
+        )
+    return f"WITH RECURSIVE {cte} {body}"
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_recursive_cte_query())
+def test_engine_matches_duckdb_on_recursive_ctes(session, duck, sql):
+    _assert_match(session, duck, sql)
+
+
+@st.composite
+def _interval_fold_query(draw) -> tuple[str, str]:
+    """The fold_interval_quantity rewrite surface: interval literals whose
+    quantity is a SUM of quoted integers (``INTERVAL '1' + '2' DAY``) —
+    the reference constant-folds these at plan time
+    (qurious/src/planner/sql.rs:1146-1229); the dialect shim folds them
+    textually before Spark parses. DuckDB rejects the unfolded reference
+    syntax, so the oracle runs the pre-folded single-literal form: the
+    pair (engine=unfolded, oracle=folded) adjudicates both the fold
+    arithmetic and its scoping inside a full query."""
+    unit = draw(st.sampled_from(["DAY", "MONTH", "HOUR"]))
+    parts = draw(st.lists(st.integers(0, 9), min_size=2, max_size=4))
+    qty = " + ".join(f"'{p}'" for p in parts)
+    folded = f"'{sum(parts)}'"
+    y = draw(st.integers(1995, 2001))
+    pred = f"CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) = {y}"
+    where_side = draw(st.booleans())
+    if where_side:
+        # folded interval inside the predicate
+        m = draw(st.integers(1, 12))
+        tpl = (
+            f"SELECT o_orderkey FROM orders WHERE {pred} AND "
+            f"o_orderdate < DATE '{y}-{m:02d}-01' + INTERVAL {{q}} {unit}"
+        )
+    else:
+        tpl = (
+            f"SELECT o_orderkey, o_orderdate + INTERVAL {{q}} {unit} AS shifted "
+            f"FROM orders WHERE {pred}"
+        )
+    return tpl.format(q=qty), tpl.format(q=folded)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=_interval_fold_query())
+def test_engine_matches_duckdb_on_interval_folding(session, duck, pair):
+    engine_sql, oracle_sql = pair
+    import duckdb as _duckdb
+
+    engine_rows = sorted(
+        (tuple(r) for r in session.sql(engine_sql).collect()),
+        key=lambda row: tuple((v is None, str(v)) for v in row),
+    )
+    duck_rows = sorted(
+        (tuple(r) for r in duck.execute(oracle_sql).fetchall()),
+        key=lambda row: tuple((v is None, str(v)) for v in row),
+    )
+    norm = lambda rows: [
+        tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
+    ]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {engine_sql}"
