@@ -912,3 +912,40 @@ def test_engine_matches_duckdb_on_interval_folding(session, duck, pair):
         tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
     ]
     assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {engine_sql}"
+
+
+@st.composite
+def _table_function_query(draw) -> str:
+    """The rewrite_table_functions surface: ``FROM read_parquet('p')`` /
+    ``read_csv('p', header=true)`` in place of a table name. DuckDB runs
+    the identical text natively, so the same string adjudicates the
+    rewrite (view registration, option parsing) plus pushdown through
+    the registered view."""
+    table = draw(st.sampled_from(["customer", "nation"]))
+    key = "c_custkey" if table == "customer" else "n_nationkey"
+    nk = "c_nationkey" if table == "customer" else "n_regionkey"
+    src = f"read_parquet('{SF}/{table}.parquet')"
+    pred = draw(_predicate()) if table == "customer" else f"{nk} < 4"
+    shape = draw(st.integers(0, 2))
+    if shape == 0:
+        return f"SELECT {key}, {nk} FROM {src} WHERE {pred}"
+    if shape == 1:
+        return (
+            f"SELECT {nk}, COUNT(*) AS n, CAST(SUM({key}) AS BIGINT) AS s "
+            f"FROM {src} WHERE {pred} GROUP BY {nk}"
+        )
+    # join the table function against a plain registered view
+    return (
+        f"SELECT t.{key}, r.r_regionkey FROM {src} t "
+        f"JOIN region r ON r.r_regionkey = t.{nk} % 5 WHERE {pred}"
+    )
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_table_function_query())
+def test_engine_matches_duckdb_on_table_functions(session, duck, sql):
+    _assert_match(session, duck, sql)
