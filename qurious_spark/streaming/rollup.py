@@ -43,11 +43,21 @@ def incremental_count_rollup(
         # batch's rows, not a later re-computation of the streaming source
         # (also detaches the frame from the micro-batch's cloned session)
         part = part.localCheckpoint(eager=True)
+        # <=> (null-safe): a NULL grouping key is ONE group, like GROUP BY —
+        # an equi-join ON would never match it and every batch would insert
+        # a fresh NULL-key row. The total_value CASE mirrors SUM's
+        # null-skipping across batches: NULL + x must accumulate to x, and
+        # a key whose values are all NULL keeps a NULL total (found by
+        # tests/test_streaming_rollup_property.py).
         session.merge_into(
             f"""
-            MERGE INTO {table_name} t USING __batch s ON t.key = s.key
-            WHEN MATCHED THEN UPDATE SET n_events = t.n_events + s.n,
-                                         total_value = t.total_value + s.v
+            MERGE INTO {table_name} t USING __batch s ON t.key <=> s.key
+            WHEN MATCHED THEN UPDATE SET
+                n_events = t.n_events + s.n,
+                total_value = CASE
+                    WHEN t.total_value IS NULL THEN s.v
+                    WHEN s.v IS NULL THEN t.total_value
+                    ELSE t.total_value + s.v END
             WHEN NOT MATCHED THEN INSERT (key, n_events, total_value)
                                   VALUES (s.key, s.n, s.v)
             """,
