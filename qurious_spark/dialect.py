@@ -152,7 +152,7 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
     m = _COPY_RE.match(text)
     if m:
         opts: dict[str, object] = {}
-        for part in re.split(r",", m.group(3) or ""):
+        for part in _split_top_level_commas(m.group(3) or ""):
             part = part.strip()
             if not part:
                 continue
@@ -166,12 +166,14 @@ def parse_ddl_dml(text: str) -> DdlDmlStatement | None:
                     opts["header"] = val is None or val.lower() in ("true", "on")
                 elif key == "format":
                     opts["format"] = (val or "csv").lower()
+                elif key == "multiline":
+                    opts["multiline"] = val is None or val.lower() in ("true", "on")
         return DdlDmlStatement(kind="copy_from", table=m.group(1), path=m.group(2), options=opts)
 
     m = _COPY_TO_RE.match(text)
     if m:
         opts: dict[str, object] = {}
-        for part in re.split(r",", m.group(3) or ""):
+        for part in _split_top_level_commas(m.group(3) or ""):
             part = part.strip()
             if not part:
                 continue

@@ -547,7 +547,17 @@ class Session:
             fmt = stmt.options.get("format", "parquet")
             writer = df.write.mode("overwrite")
             if fmt == "csv":
-                writer = writer.option("header", str(stmt.options.get("header", True)).lower())
+                writer = (
+                    writer.option("header", str(stmt.options.get("header", True)).lower())
+                    # RFC-4180 doubled-quote escaping, matching read_csv_like
+                    # and DuckDB; Spark's writer default (backslash) produced
+                    # files our own reader mis-parsed on embedded quotes
+                    .option("escape", '"')
+                    # the writer strips unquoted cell whitespace by default —
+                    # lossy for values like ' a ' (the reader preserves it)
+                    .option("ignoreLeadingWhiteSpace", "false")
+                    .option("ignoreTrailingWhiteSpace", "false")
+                )
                 if stmt.options.get("delimiter"):
                     writer = writer.option("sep", stmt.options["delimiter"])
                 writer.csv(stmt.path)
@@ -568,6 +578,7 @@ class Session:
                 delimiter=stmt.options.get("delimiter", ","),
                 header=stmt.options.get("header", False),
                 schema=mt.df.schema,
+                multiline=bool(stmt.options.get("multiline", False)),
             )
             n = mt.insert_df(src)
             self._put_table(mt.name, mt)

@@ -36,15 +36,19 @@ def read_csv_like(
     quote: str = '"',
     escape: str = '"',
     schema=None,
+    multiline: bool = False,
 ) -> DataFrame:
     """CSV reader with the reference's option surface
     (qurious/src/datasource/file/csv.rs:16-72: has_header/delimiter/quote/
-    escape, schema inference)."""
+    escape, schema inference). ``multiline`` enables quoted embedded
+    newlines — off by default because multiLine files cannot be split
+    across tasks (each file parses in one task)."""
     reader = (
         spark.read.option("header", str(bool(header)).lower())
         .option("sep", delimiter or ",")
         .option("quote", quote)
         .option("escape", escape)
+        .option("multiLine", str(bool(multiline)).lower())
     )
     if schema is not None:
         reader = reader.schema(schema)

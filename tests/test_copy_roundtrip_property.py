@@ -1,0 +1,105 @@
+"""Property-based COPY TO (FORMAT CSV) → COPY FROM roundtrip: arbitrary
+strings containing quotes, backslashes, delimiters, and surrounding
+whitespace must survive the write/read pair byte-for-byte.
+
+Found (and now pins the fixes for): the writer's backslash escaping that
+the RFC-doubled-quote reader mis-parsed, and the writer's default
+whitespace trimming. One documented conflation remains: an empty string
+reads back as NULL (the CSV wire format cannot distinguish them for an
+unquoted field, and Spark's reader nulls the quoted form too) — asserted
+explicitly so a behavior change is caught.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+N_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES_STREAM", "12"))
+
+_CHARS = list("ab|,;'\" \\\t日本")
+
+
+@st.composite
+def _case(draw):
+    delim = draw(st.sampled_from(["|", ";", ","]))
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(alphabet=_CHARS, min_size=0, max_size=8),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    return delim, vals
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_case())
+def test_copy_csv_roundtrip_preserves_strings(spark, case):
+    from qurious_spark.session import Session
+
+    delim, vals = case
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS copy_rt_a")
+    s.sql("DROP TABLE IF EXISTS copy_rt_b")
+    work = tempfile.mkdtemp(prefix="copy_rt_")
+    try:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k bigint, s string"
+        )
+        df.createOrReplaceTempView("copy_rt_src")
+        s.sql("CREATE TABLE copy_rt_a AS SELECT k, s FROM copy_rt_src")
+        out = os.path.join(work, "out")
+        s.sql(f"COPY copy_rt_a TO '{out}' (FORMAT CSV, HEADER, DELIMITER '{delim}')")
+        s.sql("CREATE TABLE copy_rt_b (k BIGINT, s VARCHAR)")
+        s.sql(f"COPY copy_rt_b FROM '{out}' (DELIMITER '{delim}', HEADER true)")
+        got = {r.k: r.s for r in s.sql("SELECT k, s FROM copy_rt_b").collect()}
+        want = {i: (None if v == "" else v) for i, v in enumerate(vals)}
+        assert got == want, f"case={case}"
+    finally:
+        s.sql("DROP TABLE IF EXISTS copy_rt_a")
+        s.sql("DROP TABLE IF EXISTS copy_rt_b")
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_copy_csv_roundtrip_multiline(spark):
+    """Quoted embedded newlines roundtrip when COPY FROM is given the
+    MULTILINE option (off by default: multiLine files cannot be split
+    across tasks, so it is opt-in)."""
+    from qurious_spark.session import Session
+
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS copy_ml_a")
+    s.sql("DROP TABLE IF EXISTS copy_ml_b")
+    work = tempfile.mkdtemp(prefix="copy_ml_")
+    try:
+        df = spark.createDataFrame(
+            [(1, "line1\nline2"), (2, "plain"), (3, 'q"uote\nand more')],
+            "k bigint, s string",
+        )
+        df.createOrReplaceTempView("copy_ml_src")
+        s.sql("CREATE TABLE copy_ml_a AS SELECT k, s FROM copy_ml_src")
+        out = os.path.join(work, "out")
+        s.sql(f"COPY copy_ml_a TO '{out}' (FORMAT CSV, HEADER)")
+        s.sql("CREATE TABLE copy_ml_b (k BIGINT, s VARCHAR)")
+        s.sql(f"COPY copy_ml_b FROM '{out}' (HEADER true, MULTILINE true)")
+        got = {r.k: r.s for r in s.sql("SELECT k, s FROM copy_ml_b").collect()}
+        assert got == {1: "line1\nline2", 2: "plain", 3: 'q"uote\nand more'}
+    finally:
+        s.sql("DROP TABLE IF EXISTS copy_ml_a")
+        s.sql("DROP TABLE IF EXISTS copy_ml_b")
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
