@@ -103,3 +103,35 @@ def test_copy_csv_roundtrip_multiline(spark):
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_copy_ndjson_roundtrip_exotic_strings(spark):
+    """COPY TO (FORMAT JSON) → read_json roundtrip: JSON escaping must
+    carry quotes, backslashes, newlines, and non-ASCII text verbatim (no
+    MULTILINE needed — NDJSON escapes newlines as \\n)."""
+    from qurious_spark.session import Session
+
+    s = Session(spark)
+    s.sql("DROP TABLE IF EXISTS copy_js_a")
+    vals = ['q"uote', "back\\slash", "new\nline", "日本語", "", None]
+    work = tempfile.mkdtemp(prefix="copy_js_")
+    try:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k bigint, s string"
+        )
+        df.createOrReplaceTempView("copy_js_src")
+        s.sql("CREATE TABLE copy_js_a AS SELECT k, s FROM copy_js_src")
+        out = os.path.join(work, "out")
+        s.sql(f"COPY copy_js_a TO '{out}' (FORMAT JSON)")
+        got = {
+            r.k: r.s
+            for r in s.sql(f"SELECT k, s FROM read_json('{out}')").collect()
+        }
+        # JSON drops null-valued fields per row; the column reads back NULL.
+        # Unlike CSV, the empty string survives distinctly.
+        assert got == {i: v for i, v in enumerate(vals)}
+    finally:
+        s.sql("DROP TABLE IF EXISTS copy_js_a")
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
