@@ -747,7 +747,8 @@ def rewrite_table_functions(session, text: str) -> str:
 
 def _parse_read_options(opt_str: str) -> dict[str, object]:
     options: dict[str, object] = {}
-    for part in opt_str.split(","):
+    # quote-aware: delimiter=>',' must not split on its own comma
+    for part in _split_top_level_commas(opt_str):
         part = part.strip()
         if not part:
             continue
