@@ -42,9 +42,11 @@ def mix_corpora(
     for i, (df, w) in enumerate(sources):
         quota = target_total * w / total_w
         n = df.count()
-        if n == 0:
-            continue
-        thr = min(HASH_M, -(-HASH_M * quota // n))  # ceil, capped
+        # an empty source still contributes its (empty) slice so the output
+        # schema exists even when EVERY source is empty — a cold-start or
+        # fully-filtered pipeline stage must yield an empty mixture, not a
+        # raise (tools/empty_sweep.py)
+        thr = 0 if n == 0 else min(HASH_M, -(-HASH_M * quota // n))  # ceil, capped
         cols = keep_cols or df.columns
         part = (
             df.filter(_slot(id_col) < F.lit(int(thr)))
@@ -58,5 +60,5 @@ def mix_corpora(
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
-        raise ValueError("mix_corpora: all sources empty")
+        raise ValueError("mix_corpora: no sources given")
     return out
