@@ -272,6 +272,8 @@ def decode_image_features(
             # per-blob work is inherently row-wise (variable-size payloads),
             # but column zip avoids pandas' per-row Series construction
             for mid, blob, meta in zip(pdf["media_id"], pdf["blob"], pdf["meta"]):
+                if blob is None:
+                    continue  # missing/corrupt payload: no decoded row, like a dropped file
                 px = _decode_gray(bytes(blob), meta, deterministic_fake)
                 h, w = px.shape
                 # feature: per-column-stripe means, fixed dim
@@ -281,7 +283,11 @@ def decode_image_features(
                 out["height"].append(h)
                 out["mean_luma"].append(float(px.mean()))
                 out["feature"].append([float(s.mean()) for s in stripes])
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                # never yield an empty frame: pandas gives empty
+                # columns float64 dtype, which Arrow cannot cast to
+                # list/binary output fields
+                yield pd.DataFrame(out)
 
     src = df
     if batch_partitions:
@@ -310,6 +316,8 @@ def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_blob": []}
             for mid, blob, meta in zip(pdf["media_id"], pdf["blob"], pdf["meta"]):
+                if blob is None:
+                    continue  # missing/corrupt payload: no decoded row, like a dropped file
                 blob = bytes(blob)
                 n_frames = int(meta["n_frames"])
                 frame_sz = max(1, len(blob) // max(n_frames, 1))
@@ -319,7 +327,11 @@ def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
                     out["frame_blob"].append(
                         bytearray(blob[idx * frame_sz : (idx + 1) * frame_sz])
                     )
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                # never yield an empty frame: pandas gives empty
+                # columns float64 dtype, which Arrow cannot cast to
+                # list/binary output fields
+                yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
@@ -367,6 +379,8 @@ def decode_audio_features(
                 "zero_crossings": [],
             }
             for mid, blob, meta in zip(pdf["media_id"], pdf["blob"], pdf["meta"]):
+                if blob is None:
+                    continue  # missing/corrupt payload: no decoded row, like a dropped file
                 b = bytes(blob)
                 sr = samples = None
                 if _is_wav(b):
@@ -391,7 +405,11 @@ def decode_audio_features(
                 out["zero_crossings"].append(
                     int(np.count_nonzero(np.diff(np.signbit(samples))))
                 )
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                # never yield an empty frame: pandas gives empty
+                # columns float64 dtype, which Arrow cannot cast to
+                # list/binary output fields
+                yield pd.DataFrame(out)
 
     src = df
     if batch_partitions:
@@ -426,6 +444,8 @@ def resize_images(
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "pixels": []}
             for mid, blob, meta in zip(pdf["media_id"], pdf["blob"], pdf["meta"]):
+                if blob is None:
+                    continue  # missing/corrupt payload: no decoded row, like a dropped file
                 px = _decode_gray(bytes(blob), meta, deterministic_fake).astype(np.uint8)
                 h, w = px.shape
                 ys = (np.arange(out_height) * h // out_height)
@@ -435,6 +455,10 @@ def resize_images(
                 out["width"].append(out_width)
                 out["height"].append(out_height)
                 out["pixels"].append(bytearray(small.tobytes()))
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                # never yield an empty frame: pandas gives empty
+                # columns float64 dtype, which Arrow cannot cast to
+                # list/binary output fields
+                yield pd.DataFrame(out)
 
     return df.mapInPandas(run, RESIZED_SCHEMA)

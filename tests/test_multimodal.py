@@ -177,3 +177,33 @@ def test_fake_blob_with_ppm_magic_falls_back(spark):
     )
     rows = decode_image_features(media, deterministic_fake=True).collect()
     assert rows[0].width == 8 and rows[0].height == 4  # fake path used meta dims
+
+
+def test_decoders_skip_null_blobs(spark):
+    """A NULL blob (missing/corrupt payload) must yield no decoded row —
+    not a Python-worker crash (found by tools/null_sweep.py: NULL document
+    text derives a NULL media blob)."""
+    from pyspark.sql import functions as F
+
+    from qurious_spark.operators.multimodal import (
+        decode_image_features,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "video", bytearray(b"0123456789abcdef"), (4, 4, 16, 0, "fake")),
+        (2, "video", None, (4, 4, 16, 0, "fake")),
+        (3, "image", None, (4, 4, 1, 0, "fake")),
+        (4, "image", bytearray(b"0123456789abcdef"), (4, 4, 1, 0, "fake")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, blob binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int,format:string>",
+    )
+    frames = sample_frames(df, every_nth=8).collect()
+    assert {r.media_id for r in frames} == {1}
+    feats = decode_image_features(
+        df.filter(F.col("kind") == "image"), deterministic_fake=True
+    ).collect()
+    assert {r.media_id for r in feats} == {4}
