@@ -949,3 +949,42 @@ def _table_function_query(draw) -> str:
 @given(sql=_table_function_query())
 def test_engine_matches_duckdb_on_table_functions(session, duck, sql):
     _assert_match(session, duck, sql)
+
+
+@st.composite
+def _limit_offset_query(draw) -> str:
+    """Skip+fetch over a deterministic total order (unique key ORDER BY,
+    optional DESC): LIMIT, OFFSET, and both together — the reference's
+    Limit(skip, fetch) operator surface. Engine-neutral because the key
+    is unique, so both engines must return the identical row window."""
+    pred = draw(_predicate())
+    desc = draw(st.sampled_from(["", " DESC"]))
+    k = draw(st.integers(0, 30))
+    off = draw(st.integers(0, 40))
+    shape = draw(st.integers(0, 2))
+    base = (
+        f"SELECT c_custkey, c_nationkey FROM customer WHERE {pred} "
+        f"ORDER BY c_custkey{desc}"
+    )
+    if shape == 0:
+        return f"{base} LIMIT {k}"
+    if shape == 1:
+        return f"{base} OFFSET {off}"
+    return f"{base} LIMIT {k} OFFSET {off}"
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_limit_offset_query())
+def test_engine_matches_duckdb_on_limit_offset(session, duck, sql):
+    """Ordered compare (not multiset): the unique sort key makes row order
+    part of the contract here."""
+    engine_rows = [tuple(r) for r in session.sql(sql).collect()]
+    duck_rows = [tuple(r) for r in duck.execute(sql).fetchall()]
+    norm = lambda rows: [
+        tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
+    ]
+    assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
