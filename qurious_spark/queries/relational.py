@@ -648,12 +648,17 @@ sql_query(
     """,
 )
 
+# ORDER BY carries l_quantity as a tiebreak: (l_orderkey, l_linenumber) is
+# unique in well-formed data, but under key-collapsing (hot-key) inputs the
+# pair duplicates and lag/lead over tied sort keys is engine-nondeterministic
+# (found by tools/skew_sweep.py). Any remaining ties share l_quantity, so
+# every permutation yields identical output.
 sql_query(
     "window_lag_lead",
     """
     SELECT l_orderkey, l_linenumber,
-           lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_qty,
-           lead(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_qty
+           lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS prev_qty,
+           lead(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS next_qty
     FROM lineitem WHERE l_orderkey < 200
     """,
 )
