@@ -115,40 +115,31 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 10000 AS BIGINT)
-                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / count(*)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS avg_value,
            ROUND(MAX(value), 4) AS max_value
     FROM events GROUP BY 1, 2
     """,
 )
 def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # AVG rounded to 4 places via exact integer half-up arithmetic:
-    # ROUND(sum/count, 4) on a DOUBLE flips by 1 ulp between engines when the
-    # quotient lands on a 1e-4 half-point (found by tools/skew_sweep.py — a
-    # hot group hit the boundary). The decimal SUM is exact; scaling to 1e-4
-    # units and dividing with integral DIV (Spark) ≡ // (DuckDB), both
-    # truncating, keeps every step exact and engine-identical.
+    # AVG rounded to 4 places via decimal-cast half-up, not ROUND(sum/count,4):
+    # a quotient on a 1e-4 half-point rounds differently per engine on DOUBLE
+    # (found by tools/skew_sweep.py — a hot group hit the boundary). The
+    # decimal SUM is exact; Spark divides in decimal and casts half-up, DuckDB
+    # casts the quotient's shortest decimal repr half-up — identical except in
+    # a ~1e-16-relative tail, with 38-digit headroom (a BIGINT-scaled DIV
+    # would wrap silently near 1e12 rows).
     ev = table(spark, sf_dir, "events")
-    g = ev.groupBy(
+    return ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        (F.sum(F.col("value").cast("decimal(18,2)")) * 10000)
-        .cast("bigint")
-        .alias("_sum_1e4"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) / F.count("*"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("avg_value"),
         F.round(F.max("value"), 4).alias("max_value"),
-    )
-    return g.select(
-        "day",
-        "event_type",
-        "n_events",
-        "n_users",
-        (
-            F.expr("(2 * _sum_1e4 + n_events) DIV (2 * n_events)").cast("double")
-            / 10000
-        ).alias("avg_value"),
-        "max_value",
     )
 
 

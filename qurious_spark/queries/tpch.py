@@ -23,6 +23,11 @@ from qurious_spark.queries import sql_query
 # makes each term an exact decimal, and the decimal-128 sum is associative —
 # deterministic under any partitioning in both engines, without the ~1.5x
 # cost of full Decimal128 multiply chains.
+# AVG columns round through CAST(sum/count AS DECIMAL(38,4)), not
+# ROUND(double, 4): a quotient on a 1e-4 half-point rounds differently per
+# engine on DOUBLE (the events_daily_stats defect class found by
+# tools/skew_sweep.py); the decimal cast is half-up in both engines with
+# 38-digit headroom at any scale factor.
 sql_query(
     "tpch_q1",
     """
@@ -31,9 +36,9 @@ sql_query(
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
            ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           CAST(CAST(CAST(SUM(l_quantity) AS DECIMAL(38,2)) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
