@@ -1,0 +1,55 @@
+"""Hot-key skew regression guard: a representative entry per family must
+stay VALUE-correct (full Spark-vs-DuckDB compare, not crash-only) when
+~50% of each fact table's FK rows collapse onto one key.
+
+The full 189-entry sweep is `python tools/skew_sweep.py` (~6 min; run
+before release); this subset keeps the property in the default suite.
+189/189 passed the full sweep when introduced — after it found and fixed
+two real cross-engine determinism defects, pinned first in SUBSET:
+window_lag_lead (lag/lead over tied sort keys once the (orderkey,
+linenumber) pair duplicates) and events_daily_stats (ROUND on a 1e-4
+half-point quotient).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SUBSET = [
+    "window_lag_lead",  # the sweep's first find: tied-sort-key lag/lead
+    "events_daily_stats",  # the sweep's second find: half-point ROUND
+    "tpch_q1",  # flagship; avg columns share the half-point fix
+    "tpch_q18",  # groupBy-HAVING over the hot orderkey
+    "tpch_q21",  # lineitem self-joins on the hot orderkey
+    "tpch_q5",  # multi-way join topology under FK collapse
+    "window_rank_dense",  # rank over a giant partition
+    "agg_basic",
+    "dedup_exact",
+    "events_funnel",  # hot user carries half the event stream
+]
+
+
+@pytest.fixture(scope="module")
+def skew_sf(spark):
+    from tools.skew_sweep import build_skewed_dataset
+
+    return build_skewed_dataset(spark, "/root/testdata/sf0.001", frac=0.5)
+
+
+@pytest.fixture(scope="module")
+def skew_duck(skew_sf):
+    from tools.check_correctness import duckdb_conn
+
+    return duckdb_conn(skew_sf)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_entry_stays_correct_under_skew(spark, skew_sf, skew_duck, name):
+    import __spark_entry__ as entry_mod
+
+    from tools.check_correctness import compare
+
+    df = entry_mod.queries()[name](spark, skew_sf)
+    problems, oracle_rows = compare(name, df, skew_duck, entry_mod.oracle_sql()[name])
+    assert not problems, problems
+    assert oracle_rows > 0, "vacuous 0-row agreement proves nothing"
