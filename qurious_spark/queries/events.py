@@ -356,33 +356,45 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events c, events p
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       AND c.user_id = p.user_id
-      AND epoch(c.ts) <= epoch(p.ts) + 3600
-      AND epoch(p.ts) <= epoch(c.ts) + 1800
+      AND epoch_us(c.ts) <= epoch_us(p.ts) + 3600000000
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
     """,
 )
 def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/rangejoin.interval_overlap_join):
     per-user click windows [ts, ts+30m] against purchase windows
     [ts, ts+1h]; candidates from a (user_id, bin) equi-join — never a
-    BNLJ — with the exact overlap predicate as a residual. The oracle
-    brute-forces the overlap in epoch seconds."""
+    BNLJ — with the exact overlap predicate as a residual. Both sides
+    compare exact integer MICROSECONDS (unix_micros ≙ epoch_us):
+    unix_timestamp() truncates sub-seconds while DuckDB epoch() keeps
+    them, which flipped boundary pairs under the hot-key skew sweep
+    (spark 1942 vs duck 1941 rows at sf0.01/skew)."""
     from qurious_spark.operators.rangejoin import interval_overlap_join
 
+    us = 1_000_000
     ev = table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id"), "user_id", F.unix_timestamp("ts").alias("t0")
+        F.col("event_id"),
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the cast is epoch-identity under the
+        # session's fixed UTC timezone (session.py builder config).
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t0"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id"), "user_id", F.unix_timestamp("ts").alias("t0")
+        F.col("event_id"),
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the cast is epoch-identity under the
+        # session's fixed UTC timezone (session.py builder config).
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t0"),
     )
     out = interval_overlap_join(
         clicks,
         purchases,
         F.col("t0"),
-        F.col("t0") + 1800,
+        F.col("t0") + 1800 * us,
         F.col("t0"),
-        F.col("t0") + 3600,
-        bin_width=3600.0,
+        F.col("t0") + 3600 * us,
+        bin_width=3600.0 * us,
         on=["user_id"],
     )
     return out.select(

@@ -54,12 +54,16 @@ sql_query(
     """,
 )
 
+# price_k rounds via an integer scale (ROUND(x/10)/100, not ROUND(x/1000, 2)):
+# money/1000 lands on exact half-points at digit 3, where Spark (shortest
+# decimal string, HALF_UP) and DuckDB (binary value) round apart — surfaced
+# by the sf0.01 hot-key sweep pushing 30k rows through the filter.
 sql_query(
     "math_functions",
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS d_abs,
-           round(l_extendedprice / 1000, 2) AS price_k,
+           round(l_extendedprice / 10) / 100 AS price_k,
            CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
            CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
            ROUND(power(l_quantity, 2), 4) AS q_sq,
@@ -75,7 +79,7 @@ sql_query(
     duck_sql="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS d_abs,
-           round(l_extendedprice / 1000, 2) AS price_k,
+           round(l_extendedprice / 10) / 100 AS price_k,
            CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
            CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
            ROUND(power(l_quantity, 2), 4) AS q_sq,

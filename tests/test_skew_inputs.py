@@ -5,10 +5,13 @@ stay VALUE-correct (full Spark-vs-DuckDB compare, not crash-only) when
 The full 189-entry sweep is `python tools/skew_sweep.py` (~6 min; run
 before release); this subset keeps the property in the default suite.
 189/189 passed the full sweep when introduced — after it found and fixed
-two real cross-engine determinism defects, pinned first in SUBSET:
+four real cross-engine determinism defects, pinned first in SUBSET:
 window_lag_lead (lag/lead over tied sort keys once the (orderkey,
-linenumber) pair duplicates) and events_daily_stats (ROUND on a 1e-4
-half-point quotient).
+linenumber) pair duplicates), events_daily_stats (ROUND on a 1e-4
+half-point quotient), and — from the sf0.01 re-run, which pushes 10× the
+rows through the hot key — math_functions (per-row ROUND of money/1000,
+systematically on half-points) and events_interval_overlap
+(unix_timestamp truncating sub-seconds at an interval boundary).
 """
 
 from __future__ import annotations
@@ -18,6 +21,8 @@ import pytest
 SUBSET = [
     "window_lag_lead",  # the sweep's first find: tied-sort-key lag/lead
     "events_daily_stats",  # the sweep's second find: half-point ROUND
+    "math_functions",  # sf0.01 sweep find: per-row money ROUND half-point
+    "events_interval_overlap",  # sf0.01 sweep find: sub-second truncation
     "tpch_q1",  # flagship; avg columns share the half-point fix
     "tpch_q18",  # groupBy-HAVING over the hot orderkey
     "tpch_q21",  # lineitem self-joins on the hot orderkey

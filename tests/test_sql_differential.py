@@ -988,3 +988,64 @@ def test_engine_matches_duckdb_on_limit_offset(session, duck, sql):
         tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
     ]
     assert norm(engine_rows) == norm(duck_rows), f"mismatch for: {sql}"
+
+
+@st.composite
+def _filter_distinct_agg_query(draw) -> str:
+    """FILTER clauses and DISTINCT aggregates — the two aggregate modifiers
+    the `_agg_query` strategy doesn't compose. Catalyst plans multiple
+    DISTINCT aggregates (or DISTINCT mixed with FILTER) through an Expand
+    node whose grouping-id bookkeeping is easy to get subtly wrong, and a
+    FILTER predicate that rejects every row must yield NULL (SUM/MIN/MAX)
+    vs 0 (COUNT) exactly like the oracle. NULLIF injects NULLs so
+    COUNT(e) vs COUNT(*) and DISTINCT-with-NULL semantics are exercised;
+    integer-only algebra keeps the compare representation-safe."""
+    m = draw(st.integers(2, 9))
+    exprs = [
+        "c_nationkey",
+        f"(c_custkey % {m})",
+        f"NULLIF(c_custkey % {m}, {draw(st.integers(0, 3))})",
+    ]
+
+    def agg(draw) -> str:
+        e = draw(st.sampled_from(exprs))
+        kind = draw(st.integers(0, 5))
+        filt = ""
+        if draw(st.booleans()):
+            filt = f" FILTER (WHERE {draw(_predicate(depth=1))})"
+        if kind == 0:
+            return f"COUNT(*){filt}"
+        if kind == 1:
+            return f"COUNT({e}){filt}"
+        if kind == 2:
+            return f"COUNT(DISTINCT {e}){filt}"
+        if kind == 3:
+            return f"CAST(SUM({e}){filt} AS BIGINT)"
+        if kind == 4:
+            return f"CAST(SUM(DISTINCT {e}){filt} AS BIGINT)"
+        fn = draw(st.sampled_from(["MIN", "MAX"]))
+        return f"CAST({fn}({e}){filt} AS BIGINT)"
+
+    aggs = ", ".join(f"{agg(draw)} AS a{i}" for i in range(draw(st.integers(1, 3))))
+    pred = draw(_predicate())
+    if draw(st.booleans()):
+        keys = draw(st.sampled_from(["c_nationkey", f"(c_custkey % {m})"]))
+        having = ""
+        if draw(st.booleans()):
+            having = f" HAVING COUNT(*) > {draw(st.integers(0, 5))}"
+        return (
+            f"SELECT {keys} AS k, {aggs} FROM customer"
+            f" WHERE {pred} GROUP BY {keys}{having}"
+        )
+    # no-grouping: empty input must yield one row of NULL sums / 0 counts
+    return f"SELECT {aggs} FROM customer WHERE {pred}"
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_filter_distinct_agg_query())
+def test_engine_matches_duckdb_on_filter_distinct_aggregates(session, duck, sql):
+    _assert_match(session, duck, sql)
