@@ -14,6 +14,14 @@ Conventions (driver contract):
 - integer SUMs (plain, DISTINCT, or SUM over CASE) are cast to BIGINT on both
   sides — DuckDB widens integer SUM to HUGEINT (int128) while Spark stays
   BIGINT, and the driver's value-hash is representation-sensitive.
+- money/decimal SUM columns round in DECIMAL space before the double cast:
+  ``CAST(ROUND(SUM(<decimal>), n) AS DOUBLE)``, never ``ROUND(CAST(SUM(..)
+  AS DOUBLE), n)`` — an exact scale-4 decimal sum ends on a .xx5 half-point
+  ~1/100 groups, where the engines round a DOUBLE apart (sf1 tpch_q7 find).
+  ``ROUND(decimal, n)`` is half-away-from-zero in BOTH engines; a
+  ``CAST(dec AS DECIMAL(38,n))`` downscale is NOT portable (DuckDB
+  truncates it) — the DECIMAL(38,4) cast convention below is safe only for
+  quotients, which DuckDB types as DOUBLE.
 - per-ROW fractional ROUND(x, n) on doubles is a half-point hazard: Spark
   rounds the double's shortest decimal string (BigDecimal.valueOf), DuckDB
   rounds the binary value, so a quotient near a half-point in digit n+1

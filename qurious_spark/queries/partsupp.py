@@ -73,7 +73,7 @@ sql_query(
     f"""
     WITH {PARTSUPP_CTE}
     SELECT ps.ps_partkey,
-           ROUND(CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(24,4))) AS DOUBLE), 2) AS value
+           CAST(ROUND(SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(24,4))), 2) AS DOUBLE) AS value
     FROM partsupp ps, supplier s, nation n
     WHERE ps.ps_suppkey = s.s_suppkey
       AND s.s_nationkey = n.n_nationkey

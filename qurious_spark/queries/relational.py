@@ -358,7 +358,7 @@ sql_query(
     """
     SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start,
            count(*) AS orders_cnt,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS month_rev
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS month_rev
     FROM orders GROUP BY 1
     """,
 )
@@ -385,7 +385,7 @@ sql_query(
 sql_query(
     "agg_no_grouping",
     """
-    SELECT count(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+    SELECT count(*) AS n, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
            MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
     FROM orders
     """,
@@ -427,7 +427,7 @@ sql_query(
     """
     SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
            l_returnflag,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT), l_returnflag
     """,
@@ -449,7 +449,7 @@ sql_query(
     """
     SELECT coalesce(o_orderstatus, '?') AS status,
            coalesce(o_orderpriority, '?') AS prio,
-           count(*) AS cnt, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+           count(*) AS cnt, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )

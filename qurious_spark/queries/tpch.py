@@ -27,15 +27,23 @@ from qurious_spark.queries import sql_query
 # ROUND(double, 4): a quotient on a 1e-4 half-point rounds differently per
 # engine on DOUBLE (the events_daily_stats defect class found by
 # tools/skew_sweep.py); the decimal cast is half-up in both engines with
-# 38-digit headroom at any scale factor.
+# 38-digit headroom at any scale factor. (That cast form is quotient-only:
+# DuckDB types decimal/int division as DOUBLE, and its double→decimal cast
+# rounds. A decimal→decimal downscale cast TRUNCATES in DuckDB.)
+# Money SUM columns therefore round with ROUND(decimal, n) — half away from
+# zero in both engines — BEFORE the double cast, never ROUND(double, n):
+# an exact 4-decimal sum ends on a .xx5 half-point ~1 in 100 groups, where
+# Spark (shortest decimal string, HALF_UP) and DuckDB (binary value) round
+# a DOUBLE apart. Invisible until sf1, where tpch_q7's 68M revenue sum
+# flipped a cent in the full-registry sf1 gate.
 sql_query(
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))), 4) AS DOUBLE) AS sum_charge,
            CAST(CAST(CAST(SUM(l_quantity) AS DECIMAL(38,2)) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_qty,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_price,
            CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_disc,
@@ -77,7 +85,7 @@ sql_query(
     "tpch_q3",
     """
     SELECT l.l_orderkey,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c, orders o, lineitem l
     WHERE c.c_mktsegment = 'BUILDING'
@@ -128,7 +136,7 @@ sql_query(
     "tpch_q5",
     """
     SELECT n.n_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue
     FROM customer c, orders o, lineitem l, supplier s, nation n, region r
     WHERE c.c_custkey = o.o_custkey
       AND l.l_orderkey = o.o_orderkey
@@ -148,7 +156,7 @@ sql_query(
 sql_query(
     "tpch_q6",
     """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,4))) AS DOUBLE), 4) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,4))), 4) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -162,7 +170,7 @@ sql_query(
 sql_query(
     "tpch_q7",
     """
-    SELECT supp_nation, cust_nation, l_year, ROUND(CAST(SUM(volume) AS DOUBLE), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
@@ -218,7 +226,7 @@ sql_query(
 sql_query(
     "tpch_q9",
     """
-    SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
@@ -247,7 +255,7 @@ sql_query(
 # top-20, and only the 20 surviving rows join back for name/acctbal/nation.
 _Q10_ORACLE = """
     SELECT c.c_custkey, c.c_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c, orders o, lineitem l, nation n
     WHERE c.c_custkey = o.o_custkey
@@ -293,14 +301,20 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_custkey")
         .agg(
+            # round in DECIMAL space, then cast: ROUND(double, 2) diverges
+            # from the oracle on exact .xx5 half-points (DuckDB rounds the
+            # binary value, Spark the shortest decimal string) — surfaced
+            # by the sf1 gate on tpch_q7's 68M revenue sum
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                         "decimal(24,4)"
                     )
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     cust = spark.table("customer")
@@ -338,7 +352,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query(
     "tpch_q11",
     """
-    SELECT l_partkey, ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE), 2) AS part_value
+    SELECT l_partkey, CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))), 2) AS DOUBLE) AS part_value
     FROM lineitem
     GROUP BY l_partkey
     HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE) > (
@@ -367,7 +381,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_partkey",
-            F.round(F.col("pv_dec").cast("double"), 2).alias("part_value"),
+            # decimal-space round (see q10): half-up in both engines
+            F.round(F.col("pv_dec"), 2).cast("double").alias("part_value"),
         )
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
@@ -488,7 +503,7 @@ sql_query(
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+           CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier s, revenue0 r
     WHERE s.s_suppkey = r.supplier_no
       AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
@@ -556,7 +571,7 @@ sql_query(
 sql_query(
     "tpch_q19",
     """
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l, part p
     WHERE p.p_partkey = l.l_partkey
       AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 21)
@@ -637,7 +652,7 @@ sql_query(
 sql_query(
     "tpch_q22",
     """
-    SELECT cntrycode, count(*) AS numcust, ROUND(SUM(acctbal), 2) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust, CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM (
         SELECT CAST(c.c_custkey % 10 AS STRING) AS cntrycode, c.c_acctbal AS acctbal
         FROM customer c
@@ -653,7 +668,7 @@ sql_query(
     ORDER BY cntrycode
     """,
     duck_sql="""
-    SELECT cntrycode, count(*) AS numcust, ROUND(SUM(acctbal), 2) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust, CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM (
         SELECT CAST(c.c_custkey % 10 AS VARCHAR) AS cntrycode, c.c_acctbal AS acctbal
         FROM customer c
