@@ -280,10 +280,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC shortlist + exact rerank under a recall invariant: observed
     per-query recall 0.6-0.9 at this SF (codebooks from distributed k-means,
     partition-order dependent — hence the boolean bound, not the raw ranks);
-    checked bound >= 0.4, while a random 40-vector shortlist lands ~0.08."""
+    checked bound >= 0.4, while a random 40-vector shortlist lands ~0.08.
+
+    The ADC shortlist scales with the corpus (a fixed 4*k shortlist is
+    top-2%% of 2k vectors but top-0.2%% of 20k — the sf1 gate caught recall
+    dropping below the bound at 10x data). factor = max(4, n/500) keeps the
+    shortlist at ~top-2%% of any corpus while rerank cost stays ~n/500 * k
+    exact cosines per query; at sf0.01 (the driver regime) it still
+    resolves to 4, so gate behavior is unchanged."""
     emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
     approx = S.pq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_subspaces=16, n_codes=16
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_subspaces=16,
+        n_codes=16,
+        shortlist_factor=max(4, n // 500),
     )
     return _ann_recall_invariant(spark, sf_dir, approx, min_found=4)
 
