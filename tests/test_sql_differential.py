@@ -32,6 +32,57 @@ def _testdata_views(spark):
     load_tables(spark, SF)
 
 
+_DUCK_REPLACEMENT = None
+
+
+def _fresh_duck():
+    """Stand-in for the conftest `duck` fixture connection (same views)."""
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem"
+        " events documents embeddings"
+    ).split():
+        path = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _oracle_rows(duck, sql):
+    """Run the oracle, healing fatal DuckDB crashes.
+
+    duckdb 1.0.0 can die FATALLY on rare generated queries ("Attempted to
+    dereference unique_ptr that is NULL", seen in a round-7 subquery soak)
+    — and a fatal error also poisons the connection, so every LATER
+    hypothesis example in the same test function fails with "database has
+    been invalidated" and shrinking converges on an innocent query. The
+    crashing example itself is discarded (a crashed oracle can't
+    adjudicate; raises hypothesis's assume exception); the connection is
+    rebuilt so the rest of the soak still adjudicates for real."""
+    global _DUCK_REPLACEMENT
+    import duckdb as _duckdb
+    from hypothesis import assume
+
+    con = _DUCK_REPLACEMENT or duck
+    try:
+        return con.execute(sql).fetchall()
+    except _duckdb.FatalException:
+        _DUCK_REPLACEMENT = _fresh_duck()  # con is now poisoned
+        assume(False)
+    except _duckdb.InvalidInputException as e:
+        if "database has been invalidated" not in str(e):
+            raise
+        # poisoned by an EARLIER example's fatal crash: heal and retry
+        _DUCK_REPLACEMENT = con = _fresh_duck()
+        try:
+            return con.execute(sql).fetchall()
+        except _duckdb.FatalException:
+            _DUCK_REPLACEMENT = _fresh_duck()
+            assume(False)
+
+
 def _assert_match(session, duck, sql):
     """Run both engines and compare as multisets. An INTERNAL (assertion)
     error inside DuckDB — observed on duckdb 1.0.0 for some
@@ -46,7 +97,7 @@ def _assert_match(session, duck, sql):
         key=lambda row: tuple((v is None, str(v)) for v in row),
     )
     try:
-        fetched = duck.execute(sql).fetchall()
+        fetched = _oracle_rows(duck, sql)
     except _duckdb.InternalException:
         assume(False)  # oracle assertion failure: inconclusive example
         return
@@ -905,7 +956,7 @@ def test_engine_matches_duckdb_on_interval_folding(session, duck, pair):
         key=lambda row: tuple((v is None, str(v)) for v in row),
     )
     duck_rows = sorted(
-        (tuple(r) for r in duck.execute(oracle_sql).fetchall()),
+        (tuple(r) for r in _oracle_rows(duck, oracle_sql)),
         key=lambda row: tuple((v is None, str(v)) for v in row),
     )
     norm = lambda rows: [
@@ -983,7 +1034,7 @@ def test_engine_matches_duckdb_on_limit_offset(session, duck, sql):
     """Ordered compare (not multiset): the unique sort key makes row order
     part of the contract here."""
     engine_rows = [tuple(r) for r in session.sql(sql).collect()]
-    duck_rows = [tuple(r) for r in duck.execute(sql).fetchall()]
+    duck_rows = [tuple(r) for r in _oracle_rows(duck, sql)]
     norm = lambda rows: [
         tuple(int(v) if isinstance(v, int) else v for v in r) for r in rows
     ]
