@@ -59,3 +59,34 @@ def test_no_double_round_over_decimal_sums():
         "ROUND over a double-cast decimal SUM (half-point hazard; use "
         "CAST(ROUND(SUM(dec), n) AS DOUBLE)):\n" + "\n".join(bad)
     )
+
+
+def test_no_dataframe_round_over_double_cast():
+    """DataFrame-API twin of the SQL lint: F.round(x.cast(\"double\"), n)
+    rounds a DOUBLE (engine-divergent on half-points); round the decimal
+    first, then cast — F.round(x, n).cast(\"double\")."""
+    bad = []
+    for path in glob.glob(os.path.join(QUERIES_DIR, "*.py")):
+        text = open(path).read()
+        start = 0
+        while True:
+            i = text.find("F.round(", start)
+            if i < 0:
+                break
+            depth = 0
+            for j in range(i + 7, len(text)):
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        span = text[i : j + 1]
+                        if '.cast("double")' in span:
+                            line = text[:i].count("\n") + 1
+                            bad.append(f"{os.path.basename(path)}:{line}")
+                        break
+            start = i + 8
+    assert not bad, (
+        "F.round over a double cast (half-point hazard; use "
+        'F.round(dec, n).cast("double")):\n' + "\n".join(bad)
+    )
