@@ -146,103 +146,84 @@ def load_all() -> None:
 # Everything outside the prefix keeps registration order and stays covered
 # by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation (third 20+-slot swap — VERDICT r6 task 1): ALL 50
-    # slots were green in CORRECTNESS_r06, so 29 r6-green singletons rotate
-    # out for 29 never-driver-checked entries — the TPC-H middle (q4-q22 +
-    # the three partsupp variants), the window singles, the six
-    # scalar-function families, sketch_quantiles, the multimodal
-    # frame/audio decodes, streaming SCD2, and the newly-registered
-    # incremental MERGE rollup. Rotated out, with family cover in parens:
-    # tpch_q2/q3/q5/q6/q7/q9/q12/q17/q19/q21 (all r6 green; q1 + 14 TPC-H
-    # middle entries in-window), window_rank_dense + window_qualify (r6
-    # green; 4 window singles in), string/date_functions (r6 green; 6
-    # sibling families in), except_keys (r6; intersect r3), udaf_grouped_agg
-    # (r6; udf_vectorized r5), dedup_clusters + dedup_incremental (r6;
-    # exact+minhash stay), sketch_hll_rollup (r6; sketch_quantiles in),
-    # text_duplicate_spans (r6; winnow_fingerprints stays),
-    # dml_scd2_dimension (r6; dml_scd2_stream in), events_stream_interval_
-    # join (r6; sliding+gapfill stay, rollup_merge in), multimodal_media_
-    # stats (r5+r6; frame_sample+audio_features in), events_funnel (r5+r6),
-    # source_copy_tbl + source_orc_roundtrip (r5+r6; csv+uint stay),
-    # rollup_agg (r5+r6; agg_basic stays), text_winnow_overlap (r5+r6;
-    # fingerprints stays), range_join_binned (r5+r6; fuzzy_join stays).
+    # Round-8 ENDGAME rotation (VERDICT r7 task 1; GAPS.md ENDGAME): all 50
+    # round-7 slots came back green in CORRECTNESS_r07 (29 first-evers), so
+    # the LAST 32 never-driver-checked entries take the window — the 7
+    # events singles, 7 text singles, 4 dedup variants, 6 vector/ANN
+    # entries, sketch_approx_distinct, the 2 sampling variants, the 4
+    # pipeline ops, and the streaming heavy-hitters op — alongside 18
+    # multi-green family anchors. After this window every registry entry
+    # has been driver-green at least once (never-checked backlog: ZERO).
+    # Rotated out (all r7-green; family cover in parens): dml_update_from
+    # (dml_roundtrip anchors DML), source_uint_parquet +
+    # catalog_information_schema (source_csv_roundtrip anchors §2.2),
+    # window_lag_lead/range_frame/ntile_percent (window_row_number stays),
+    # events_stream_gapfill/rollup_merge + dml_scd2_stream
+    # (events_stream_sliding anchors streaming; heavy_hitters gets its
+    # first check), math/conditional/regexp/array/hash_functions +
+    # string_agg (the three suites anchor §2.3), the 14 TPC-H middle
+    # entries (tpch_q1 anchors TPC-H; every q1-q22 now has a green row),
+    # multimodal frame/audio + sketch_quantiles (r7 green;
+    # sketch_approx_distinct gets its first check).
+    # — 18 family anchors (every SURVEY §2 row + pipeline family keeps a
+    #   multi-green representative in-window) —
     "tpch_q1",
     "dml_roundtrip",
-    "dml_update_from",
-    # §2.2 sources: CSV + COPY TO + read_csv fn, uint-typed parquet, catalog
     "source_csv_roundtrip",
-    "source_uint_parquet",
-    "catalog_information_schema",
-    # §2.5 windows — the four never-checked singles take the family's slots
-    "window_row_number",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_ntile_percent",
-    # §2.5 streaming: watermarked sliding agg + stateful gapfill stay as
-    # anchors; streaming SCD2 and the MERGE rollup get first checks
-    "events_stream_sliding",
-    "events_stream_gapfill",
-    "events_stream_rollup_merge",
-    "dml_scd2_stream",
-    # §2.1 joins: full-outer NULL handling stays as the discriminating case
-    "join_full_outer",
-    # §2.3 expression suites + the six never-checked function families
+    "agg_basic",
     "predicate_suite",
     "scalar_suite",
     "subquery_suite",
-    "math_functions",
-    "conditional_functions",
-    "regexp_functions",
-    "array_functions",
-    "string_agg",
-    "hash_functions",
-    # §2.4 aggregates
-    "agg_basic",
-    # TPC-H middle — first driver checks ever (local-gate green since
-    # r2-r3): q4 EXISTS agg, q8 market share (CASE over 8-way join), q10
-    # returns top-20, q11 broadcast-scalar HAVING, q13 left-join count
-    # distribution, q14 promo revenue, q15 view-equivalent max-revenue
-    # supplier, q16 NOT IN + count-distinct, q18 large-order semi-join, q20
-    # nested IN chains, q22 anti-join + avg subquery; plus the partsupp
-    # variants of q2/q16/q20
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q2_partsupp",
-    "tpch_q16_partsupp",
-    "tpch_q20_partsupp",
-    # LLM-pipeline families (one per VERDICT table row)
+    "join_full_outer",
+    "window_row_number",
+    "events_stream_sliding",
     "dedup_exact",
     "dedup_minhash_pairs",
     "ann_lsh_topk",
     "embedding_semdedup",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "sketch_quantiles",
     "pipeline_pack_bins",
     "pipeline_training_data",
     "text_fuzzy_join",
     "text_winnow_fingerprints",
+    # — 32 first-ever checks: events singles (batch analytics over the
+    #   events table) —
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_daily_stats",
+    "events_json_props",
+    "events_variant_props",
+    "events_interval_overlap",
+    # text singles (LLM-pipeline text analysis)
+    "text_token_count",
+    "text_fingerprint",
+    "text_quality",
+    "text_stats_by_source",
+    "vocab_doc_freq",
+    "text_tfidf_top_terms",
+    "text_repetition",
+    # dedup variants
+    "dedup_minhash_signatures",
+    "dedup_simhash_fingerprints",
+    "dedup_minhash_ml",
+    "dedup_stream_exact",
+    # vector / ANN family
+    "vector_norms",
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "embedding_centroids",
+    "embedding_dup_clusters",
+    # sketches, sampling, pipeline ops, streaming heavy hitters
+    "sketch_approx_distinct",
+    "sample_topk_per_source",
+    "sample_weighted_ares",
+    "pipeline_profile",
+    "pipeline_shard_counts",
+    "pipeline_quality_checks",
+    "pipeline_psi_drift",
+    "events_stream_heavy_hitters",
 )
-
-# Round-8 ENDGAME rotation (see GAPS.md): after r7, 32 entries remain
-# never-checked — exactly the 7 events singles, 7 text singles, 4 dedup
-# variants, 6 vector/ANN entries, sketch_approx_distinct, 2 sampling
-# variants, 4 pipeline ops, and events_stream_heavy_hitters. All 32 fit in
-# one 50-slot window alongside 18 family anchors (tpch_q1, dml_roundtrip,
-# source_csv_roundtrip, agg_basic, predicate/scalar/subquery suites,
-# join_full_outer, window_row_number, events_stream_sliding, dedup_exact,
-# dedup_minhash_pairs, ann_lsh_topk, embedding_semdedup, pipeline_pack_bins,
-# pipeline_training_data, text_fuzzy_join, text_winnow_fingerprints) — the
-# r8 swap clears the never-checked backlog to ZERO.
 
 
 def ordered_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
