@@ -539,28 +539,44 @@ def fold_interval_quantity(text: str) -> str:
     return _INTERVAL_SUM_RE.sub(repl, text)
 
 
-def _select_output_names(select_list: str) -> set[str]:
-    """Lower-cased output column names a ``SELECT <list>`` exposes: the AS
+def _select_output_idents(select_list: str) -> dict[str, set[str | None]]:
+    """Lower-cased output column names a ``SELECT <list>`` exposes, mapped
+    to the source identifiers that expose them. Exposure rules: the AS
     alias, a bare or qualified identifier's trailing name, or — for ANY
     other item — the trailing bare identifier if one exists. The last rule
     is a deliberate over-approximation (``a + b`` "exposes" b): a false
     positive merely skips the ORDER BY carry, restoring pre-carry behavior,
     while a miss used to inject a bogus bare column into the inner select
     (round-6 advisor finding: no-AS expression aliases like
-    ``count(*) cnt`` followed by ``ORDER BY cnt``)."""
+    ``count(*) cnt`` followed by ``ORDER BY cnt``).
+
+    The value set records, per exposed name, the lower-cased (possibly
+    qualified) identifier the exposing item selects when that item IS a
+    plain identifier (``t.x``, ``x``, ``t.x AS x``); any other item shape
+    contributes ``None``. A qualified ORDER BY reference is only rewritten
+    to the bare output name when its own identifier (or its bare trailing
+    form) appears here — rewriting on name alone silently bound
+    ``ORDER BY t.x`` to an exposed ``s.x`` from a different source
+    (round-7 advisor finding)."""
     body = re.sub(r"^\s*SELECT\s+(DISTINCT\s+)?", "", select_list, flags=re.IGNORECASE)
-    names: set[str] = set()
+    names: dict[str, set[str | None]] = {}
     for item in _split_top_level_commas(body):
         item = item.strip()
-        m = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        m = re.search(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE | re.DOTALL)
         if m:
-            names.add(m.group(1).lower())
+            expr = m.group(1).strip()
+            src = (
+                expr.lower()
+                if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", expr)
+                else None
+            )
+            names.setdefault(m.group(2).lower(), set()).add(src)
         elif re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", item):
-            names.add(item.split(".")[-1].lower())
+            names.setdefault(item.split(".")[-1].lower(), set()).add(item.lower())
         else:
             m2 = re.search(r"([A-Za-z_]\w*)\s*$", item)
             if m2:
-                names.add(m2.group(1).lower())
+                names.setdefault(m2.group(1).lower(), set()).add(None)
     return names
 
 
@@ -646,7 +662,7 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
             )
         )
         if om and not has_wildcard:
-            exposed = _select_output_names(select_list)
+            exposed = _select_output_idents(select_list)
             carried_from: dict[str, str] = {}  # trailing name -> source ident
             new_items: list[str] = []
             tail_changed = False
@@ -665,8 +681,13 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
                 key = trailing.lower()
                 if key in exposed:
                     # already an output column; a qualified ref is rewritten
-                    # to the bare output name it resolves to
-                    if "." in ident:
+                    # to the bare output name ONLY when the exposing select
+                    # item is that same identifier (qualified or bare) —
+                    # otherwise ``ORDER BY t.x`` over an exposed ``s.x``
+                    # would silently sort by the wrong source, so the item
+                    # is left as-is and fails analysis loudly instead
+                    # (round-7 advisor finding)
+                    if "." in ident and exposed[key] & {ident.lower(), key}:
                         new_items.append(mm.group(1) + trailing + mm.group(3))
                         tail_changed = True
                     else:

@@ -25,6 +25,7 @@ Run: ``python -m qurious_spark.plans.audit [--sf DIR] [--only a,b]``;
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,6 +133,16 @@ _PYTHON_NODES = (
     "MapInArrow",
 )
 
+_DECIMAL_DTYPE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _is_wide_scale0_decimal(dtype: str) -> bool:
+    """True for decimal(p,0) with p > 18 — the whole representation-hazard
+    class (u64-range values the driver value-hash round-trips unstably),
+    not just the decimal(20,0) that parquet uint64 maps to."""
+    m = _DECIMAL_DTYPE.match(dtype)
+    return bool(m) and int(m.group(1)) > 18 and int(m.group(2)) == 0
+
 
 def audit_df(name: str, df: DataFrame) -> tuple[list[Finding], dict]:
     # Execute first: under AQE the initial plan carries no codegen markers and
@@ -159,13 +170,15 @@ def audit_df(name: str, df: DataFrame) -> tuple[list[Finding], dict]:
         findings.append(Finding(name, "python_eval", ", ".join(py_nodes)))
     # driver-hash hazards: the round driver's pandas canonicalizer crashes
     # on list/map cells and its value-hash is representation-sensitive for
-    # 20-digit decimals (registry docstring; r4 multimodal_image_features
-    # and r1-r4 source_uint_parquet lessons). No allowlist — serialize on
-    # both sides instead.
+    # beyond-int64 decimals (registry docstring; r4 multimodal_image_features
+    # and r1-r4 source_uint_parquet lessons). Any scale-0 decimal wider than
+    # 18 digits can exceed the int64 domain the canonicalizer round-trips
+    # stably — flag by parsed precision, not the one literal dtype string
+    # that happened to bite (round-7 advisor finding).
     hazard_cols = [
         f"{c}:{t}"
         for c, t in df.dtypes
-        if t.startswith(("array", "map")) or t == "decimal(20,0)"
+        if t.startswith(("array", "map")) or _is_wide_scale0_decimal(t)
     ]
     if hazard_cols:
         findings.append(Finding(name, "driver_hash_hazard", ", ".join(hazard_cols)))

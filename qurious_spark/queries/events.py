@@ -651,11 +651,16 @@ def events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query(
     "events_stream_rollup_merge",
     # The rollup table after a full drain must equal the plain batch groupBy
-    # — MERGE-accumulated partials are associative for count/sum. ROUND(,4)
-    # on both sides absorbs float-accumulation-order noise.
+    # — MERGE-accumulated partials are associative for count/sum. events.value
+    # is exact 2-decimal money stored as DOUBLE (verified: value*100 is
+    # integral over the whole table), so BOTH sides accumulate in
+    # DECIMAL(18,2) space — the sums are exact and order-independent, and no
+    # ROUND(double) half-point hazard exists (round-7 advisor finding: the
+    # previous ROUND(SUM(double), 4) oracle was the exact engine-divergent
+    # pattern the conventions lint bans elsewhere).
     """
     SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id ORDER BY key
     """,
 )
@@ -676,15 +681,21 @@ def events_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = Session(spark)
     s.sql("DROP TABLE IF EXISTS stream_rollup")
+    # DECIMAL(38,2) accumulator: per-batch partials sum value as
+    # DECIMAL(18,2) (lossless — the column is 2-decimal money), so the
+    # MERGE accumulation is exact decimal arithmetic and the final double
+    # cast is deterministic under any batch split or merge order.
     s.sql(
         "CREATE TABLE stream_rollup "
-        "(key BIGINT, n_events BIGINT, total_value DOUBLE)"
+        "(key BIGINT, n_events BIGINT, total_value DECIMAL(38,2))"
     )
     d = _staged_events_dir(spark, sf_dir)
-    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1).withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
     ckpt = tempfile.mkdtemp(prefix="q_rollup_ckpt_")
     incremental_count_rollup(stream, s, "stream_rollup", "user_id", "value", ckpt)
     return s.sql(
-        "SELECT key, n_events, ROUND(total_value, 4) AS total_value "
+        "SELECT key, n_events, CAST(total_value AS DOUBLE) AS total_value "
         "FROM stream_rollup ORDER BY key"
     )

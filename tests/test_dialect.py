@@ -181,3 +181,40 @@ def test_rewrite_qualify_qualified_order_by_items():
     out2 = rewrite_qualify(sql2)
     assert "EXCEPT (__qual)" in out2
     assert out2.rstrip().endswith("ORDER BY v")
+
+
+def test_rewrite_qualify_qualified_order_by_other_source_untouched():
+    """Round-7 advisor finding: ``ORDER BY t.x`` whose trailing name is
+    exposed by a DIFFERENT source (``SELECT s.x`` or ``s.y AS x``) must be
+    left untouched — rewriting to the bare name would silently sort by the
+    other source's column; untouched it fails analysis loudly instead."""
+    from qurious_spark.dialect import rewrite_qualify
+
+    # exposed x comes from s, ORDER BY names t: leave the item alone
+    sql = (
+        "SELECT grp, s.x FROM t JOIN s USING (grp) "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY s.x) = 1 "
+        "ORDER BY t.x"
+    )
+    out = rewrite_qualify(sql)
+    assert out.rstrip().endswith("ORDER BY t.x")
+    assert "EXCEPT (__qual)" in out  # nothing carried either
+
+    # same-source alias form still rewrites: t.x AS x / ORDER BY t.x
+    sql2 = (
+        "SELECT grp, t.x AS x FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY t.x) = 1 "
+        "ORDER BY t.x DESC"
+    )
+    out2 = rewrite_qualify(sql2)
+    assert out2.rstrip().endswith("ORDER BY x DESC")
+
+    # expression alias exposing the name (count(*) AS x): not an identifier
+    # source, so a qualified ref stays untouched
+    sql3 = (
+        "SELECT grp, count(*) AS x FROM t GROUP BY grp "
+        "QUALIFY row_number() OVER (ORDER BY count(*)) <= 3 "
+        "ORDER BY t.x"
+    )
+    out3 = rewrite_qualify(sql3)
+    assert out3.rstrip().endswith("ORDER BY t.x")

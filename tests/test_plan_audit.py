@@ -37,3 +37,17 @@ def test_scans_are_column_pruned(report):
         if any(w > 8 for w in info["scan_widths"])
     }
     assert not wide, f"scans reading >8 columns: {wide}"
+
+
+def test_wide_scale0_decimal_hazard_class():
+    """Round-7 advisor finding: the driver-hash hazard is the CLASS of
+    scale-0 decimals wider than int64 (p > 18), not the literal
+    decimal(20,0) string parquet uint64 happens to map to."""
+    from qurious_spark.plans.audit import _is_wide_scale0_decimal
+
+    assert _is_wide_scale0_decimal("decimal(20,0)")
+    assert _is_wide_scale0_decimal("decimal(21,0)")
+    assert _is_wide_scale0_decimal("decimal(38,0)")
+    assert not _is_wide_scale0_decimal("decimal(18,0)")  # fits int64-stable range
+    assert not _is_wide_scale0_decimal("decimal(38,4)")  # scaled decimals canonicalize
+    assert not _is_wide_scale0_decimal("bigint")
