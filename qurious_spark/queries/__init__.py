@@ -166,7 +166,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # multimodal frame/audio + sketch_quantiles (r7 green;
     # sketch_approx_distinct gets its first check).
     # — 18 family anchors (every SURVEY §2 row + pipeline family keeps a
-    #   multi-green representative in-window) —
+    #   multi-green representative in-window). Two anchors double as
+    #   re-verification of the round-8 advisory fixes: window_qualify
+    #   (the QUALIFY qualified-ORDER-BY rewrite narrowing) and
+    #   events_stream_rollup_merge (the decimal accumulator) replaced
+    #   window_row_number and text_winnow_fingerprints, whose r7 greens
+    #   stand on unchanged code and whose families stay covered
+    #   (4 window singles r7-green; text_fuzzy_join + 7 text singles
+    #   in-window) —
     "tpch_q1",
     "dml_roundtrip",
     "source_csv_roundtrip",
@@ -175,8 +182,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scalar_suite",
     "subquery_suite",
     "join_full_outer",
-    "window_row_number",
+    "window_qualify",
     "events_stream_sliding",
+    "events_stream_rollup_merge",
     "dedup_exact",
     "dedup_minhash_pairs",
     "ann_lsh_topk",
@@ -184,7 +192,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_pack_bins",
     "pipeline_training_data",
     "text_fuzzy_join",
-    "text_winnow_fingerprints",
     # — 32 first-ever checks: events singles (batch analytics over the
     #   events table) —
     "events_tumbling_window",
