@@ -663,6 +663,21 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
         )
         if om and not has_wildcard:
             exposed = _select_output_idents(select_list)
+            # Under JOIN .. USING / NATURAL JOIN, a bare exposed ``x`` is the
+            # COALESCED join column, which t.x/s.x do not equal on non-inner
+            # joins — so a qualified ORDER BY item may only be rewritten to
+            # the bare name when the select item is that same qualified
+            # identifier; bare exposure is not proof of source (round-8
+            # advisor finding). Elsewhere a bare ``SELECT x`` that analyzed
+            # is unambiguous (two sources with x would be an analysis
+            # error), so t.x == exposed x and bare exposure suffices.
+            coalescing_join = bool(
+                re.search(
+                    r"\bUSING\s*\(|\bNATURAL\s+(?:\w+\s+)*JOIN\b",
+                    head[f:],
+                    re.IGNORECASE,
+                )
+            )
             carried_from: dict[str, str] = {}  # trailing name -> source ident
             new_items: list[str] = []
             tail_changed = False
@@ -686,8 +701,12 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
                     # otherwise ``ORDER BY t.x`` over an exposed ``s.x``
                     # would silently sort by the wrong source, so the item
                     # is left as-is and fails analysis loudly instead
-                    # (round-7 advisor finding)
-                    if "." in ident and exposed[key] & {ident.lower(), key}:
+                    # (round-7 advisor finding); under a coalescing join the
+                    # bare name isn't proof of source (round-8, above)
+                    accept = (
+                        {ident.lower()} if coalescing_join else {ident.lower(), key}
+                    )
+                    if "." in ident and exposed[key] & accept:
                         new_items.append(mm.group(1) + trailing + mm.group(3))
                         tail_changed = True
                     else:

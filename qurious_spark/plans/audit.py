@@ -41,7 +41,9 @@ ALLOW_NON_EQUI = {
     # cosine_pairs raises above COSINE_PAIRS_MAX_ROWS (100k) so the O(N^2)
     # plan cannot be reached at corpus scale without an explicit opt-in
     "embedding_cosine_pairs",
-    "embedding_dup_clusters",  # fed by the same guarded all-pairs emitter
+    # fed by the same guarded all-pairs emitter, plus the bounded-oracle
+    # probe scoring (corpus x broadcast 50-row probe set — O(n), map-side)
+    "embedding_dup_clusters",
     "ann_topk_bruteforce",  # query-point x corpus scoring
     "ann_ivf_topk",  # recall invariant embeds a brute-force exact reference
     "ann_pq_topk",  # same: exact top-10 reference ranking inside the entry

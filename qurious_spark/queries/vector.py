@@ -235,43 +235,137 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_invariant(spark, sf_dir, approx, min_found=5)
 
 
+# Probe set for the bounded embedding_dup_clusters oracle: exact duplicate
+# EDGES are recomputed for the vec_id < _PROBE nodes against the whole
+# corpus — O(_PROBE * n) cosines on both sides instead of the full corpus
+# all-pairs + transitive walk that took hours at sf1 (judge round-8 task 2;
+# same bounded-invariant shape as the ANN recall oracles above). An
+# id-prefix INDUCED subgraph is vacuous here — the planted near-dup pairs
+# span scattered ids (sf0.01 has zero pairs inside vec_id < 300) — so the
+# probes' edges go corpus-wide.
+_PROBE = 50
+
+
 @df_query(
     "embedding_dup_clusters",
     f"""
-    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a, e b
-        WHERE a.vec_id < b.vec_id AND ROUND({_cos('a.v', 'b.v')}, 6) >= {COS_THRESH}
-    ),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS probe_id, v AS qv FROM e WHERE vec_id < {_PROBE}),
     edges AS (
-        SELECT id_a AS u, id_b AS v FROM pairs
-        UNION SELECT id_b AS u, id_a AS v FROM pairs
-    ),
-    walk(node, lbl) AS (
-        SELECT u, u FROM edges
-        UNION
-        SELECT e2.v, w.lbl FROM walk w JOIN edges e2 ON e2.u = w.node
-        WHERE w.lbl < e2.v
-    ),
-    cc AS (SELECT node, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
-    SELECT cc.node AS vec_id, cc.cluster_id, sz.cluster_size
-    FROM cc
-    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) sz
-      USING (cluster_id)
+        SELECT q.probe_id, e.vec_id AS neighbor_id
+        FROM q, e
+        WHERE e.vec_id <> q.probe_id
+          AND ROUND({_cos('q.qv', 'e.v')}, 6) >= {COS_THRESH}
+    )
+    SELECT CAST(probe_id AS BIGINT) AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(MIN(neighbor_id) AS BIGINT) AS min_neighbor,
+           CAST(MAX(neighbor_id) AS BIGINT) AS max_neighbor,
+           TRUE AS in_output_ok,
+           TRUE AS same_cluster_ok,
+           TRUE AS size_ok
+    FROM edges GROUP BY probe_id
     """,
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over embedding-cosine pairs — the same
     large-star/small-star resolver as dedup_clusters (pair-source-agnostic;
-    operators/components.py)."""
+    operators/components.py) — under a BOUNDED invariant oracle.
+
+    The full-corpus clustering runs as before; what the driver hash-checks,
+    one row per probe node (vec_id < _PROBE) with at least one duplicate
+    edge, is (a) that probe's exact corpus-wide neighbor count / min / max
+    — hard value compares that verify the cosine + threshold pipeline
+    against DuckDB's independent scan — and (b) three booleans tying the
+    full clustering to those edges: ``in_output_ok`` (the probe appears in
+    the cluster output), ``same_cluster_ok`` (every direct neighbor landed
+    in the probe's cluster — a resolver that splits an edge flips this),
+    and ``size_ok`` (cluster_size >= 1 + n_neighbors — the component
+    contains the probe's closed neighborhood). A broken threshold, a
+    dropped node, a split component, or a miscounted size flips a hard
+    value or a boolean and the driver row goes red. Resolver exactness at
+    full scale is separately evidenced by dedup_clusters (same resolver,
+    exact oracle, sf1-green — SCALE.md).
+    """
     from qurious_spark.operators.components import duplicate_clusters
 
-    pairs = S.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=COS_THRESH)
-    return duplicate_clusters(pairs).select(
-        F.col("node").alias("vec_id"),
-        F.col("component").alias("cluster_id"),
-        "cluster_size",
+    emb = S.with_double_vec(table(spark, sf_dir, "embeddings"))
+    full = duplicate_clusters(S.cosine_pairs(emb, threshold=COS_THRESH, dim=64))
+    probes = emb.filter(F.col("vec_id") < _PROBE).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("qv"),
+        V.l2_norm(F.col("embedding"), 64).alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        V.l2_norm(F.col("embedding"), 64).alias("nn"),
+    )
+    denom = F.col("qn") * F.col("nn")
+    # probe side broadcast: O(_PROBE * n) map-side work, no shuffle of the
+    # corpus — scales linearly with n at any corpus size
+    edges = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                F.when(denom > 0, V.dot(F.col("qv"), F.col("nv"), 64) / denom)
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= COS_THRESH)
+        .select("probe_id", "neighbor_id")
+    )
+    stats = edges.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("n_neighbors"),
+        F.min("neighbor_id").cast("bigint").alias("min_neighbor"),
+        F.max("neighbor_id").cast("bigint").alias("max_neighbor"),
+    )
+    clusters = full.select(
+        F.col("node"), F.col("component"), F.col("cluster_size")
+    )
+    probe_cl = stats.join(
+        clusters.withColumnRenamed("node", "probe_id"), "probe_id", "left"
+    )
+    neigh_bad = (
+        edges.join(
+            clusters.select(
+                F.col("node").alias("neighbor_id"),
+                F.col("component").alias("n_component"),
+            ),
+            "neighbor_id",
+            "left",
+        )
+        .join(
+            clusters.select(
+                F.col("node").alias("probe_id"),
+                F.col("component").alias("p_component"),
+            ),
+            "probe_id",
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("n_component").isNull()
+                    | ~(F.col("n_component") == F.col("p_component"))
+                ).cast("int")
+            ).alias("n_bad")
+        )
+    )
+    return probe_cl.join(neigh_bad, "probe_id").select(
+        F.col("probe_id").cast("bigint").alias("vec_id"),
+        "n_neighbors",
+        "min_neighbor",
+        "max_neighbor",
+        F.col("component").isNotNull().alias("in_output_ok"),
+        (F.col("n_bad") == 0).alias("same_cluster_ok"),
+        F.coalesce(
+            F.col("cluster_size") >= F.col("n_neighbors") + 1, F.lit(False)
+        ).alias("size_ok"),
     )
 
 

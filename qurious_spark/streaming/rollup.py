@@ -31,7 +31,10 @@ def incremental_count_rollup(
     exactly-once per micro-batch via MERGE. Drains with availableNow.
 
     The managed table must exist (CREATE TABLE ... (key ..., n_events
-    BIGINT, total_value DOUBLE)); key/value columns are renamed into it.
+    BIGINT, total_value <any additive numeric — DOUBLE or DECIMAL>));
+    key/value columns are renamed into it. The accumulator arithmetic is
+    type-agnostic: events_stream_rollup_merge declares DECIMAL(38,2) for
+    exact money totals.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:

@@ -218,3 +218,48 @@ def test_rewrite_qualify_qualified_order_by_other_source_untouched():
     )
     out3 = rewrite_qualify(sql3)
     assert out3.rstrip().endswith("ORDER BY t.x")
+
+
+def test_rewrite_qualify_qualified_order_by_using_join_untouched():
+    """Round-8 advisor finding: under ``JOIN .. USING(x)`` (or NATURAL
+    JOIN) a bare exposed ``x`` is the COALESCED join column — on a FULL
+    OUTER join it differs from ``t.x`` — so ``ORDER BY t.x`` must NOT be
+    rewritten to the bare name on bare exposure alone; left untouched it
+    fails analysis loudly instead of silently sorting the wrong source."""
+    from qurious_spark.dialect import rewrite_qualify
+
+    sql = (
+        "SELECT x, t.v FROM t FULL OUTER JOIN s USING (x) "
+        "QUALIFY row_number() OVER (PARTITION BY x ORDER BY t.v) = 1 "
+        "ORDER BY t.x"
+    )
+    out = rewrite_qualify(sql)
+    assert out.rstrip().endswith("ORDER BY t.x")
+
+    # the exact qualified identifier in the select list still rewrites,
+    # even under USING — the source is proven, not inferred from the name
+    sql2 = (
+        "SELECT t.x, t.v FROM t JOIN s USING (x) "
+        "QUALIFY row_number() OVER (ORDER BY t.v) = 1 "
+        "ORDER BY t.x DESC"
+    )
+    out2 = rewrite_qualify(sql2)
+    assert out2.rstrip().endswith("ORDER BY x DESC")
+
+    # NATURAL JOIN triggers the same conservatism
+    sql3 = (
+        "SELECT x, t.v FROM t NATURAL LEFT JOIN s "
+        "QUALIFY row_number() OVER (ORDER BY t.v) = 1 "
+        "ORDER BY t.x"
+    )
+    out3 = rewrite_qualify(sql3)
+    assert out3.rstrip().endswith("ORDER BY t.x")
+
+    # and single-table bare exposure keeps rewriting (no coalescing join)
+    sql4 = (
+        "SELECT x FROM t "
+        "QUALIFY row_number() OVER (ORDER BY x) = 1 "
+        "ORDER BY t.x"
+    )
+    out4 = rewrite_qualify(sql4)
+    assert out4.rstrip().endswith("ORDER BY x")
