@@ -89,7 +89,13 @@ def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the input arrives in
     fewer partitions. Small local files scan as 1-2 partitions, which would
     serialize the CPU-heavy shingling/hashing stages onto one core; on a real
-    cluster a 100 TB input is already wide and this is a no-op."""
+    cluster a 100 TB input is already wide and this is a no-op.
+
+    ``df.rdd.getNumPartitions()`` is DRIVER-SIDE METADATA ONLY — it builds
+    the RDD lineage object but launches no job and moves no data. It must
+    stay out of per-row/hot paths (materializing ``df.rdd`` in an executor
+    path would bypass whole-stage codegen); tests/test_conventions.py pins
+    this as the package's only ``.rdd`` access."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

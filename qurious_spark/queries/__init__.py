@@ -146,90 +146,87 @@ def load_all() -> None:
 # Everything outside the prefix keeps registration order and stays covered
 # by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 ENDGAME rotation (VERDICT r7 task 1; GAPS.md ENDGAME): all 50
-    # round-7 slots came back green in CORRECTNESS_r07 (29 first-evers), so
-    # the LAST 32 never-driver-checked entries take the window — the 7
-    # events singles, 7 text singles, 4 dedup variants, 6 vector/ANN
-    # entries, sketch_approx_distinct, the 2 sampling variants, the 4
-    # pipeline ops, and the streaming heavy-hitters op — alongside 18
-    # multi-green family anchors. After this window every registry entry
-    # has been driver-green at least once (never-checked backlog: ZERO).
-    # Rotated out (all r7-green; family cover in parens): dml_update_from
-    # (dml_roundtrip anchors DML), source_uint_parquet +
-    # catalog_information_schema (source_csv_roundtrip anchors §2.2),
-    # window_lag_lead/range_frame/ntile_percent (window_row_number stays),
-    # events_stream_gapfill/rollup_merge + dml_scd2_stream
-    # (events_stream_sliding anchors streaming; heavy_hitters gets its
-    # first check), math/conditional/regexp/array/hash_functions +
-    # string_agg (the three suites anchor §2.3), the 14 TPC-H middle
-    # entries (tpch_q1 anchors TPC-H; every q1-q22 now has a green row),
-    # multimodal frame/audio + sketch_quantiles (r7 green;
-    # sketch_approx_distinct gets its first check).
-    # — 18 family anchors (every SURVEY §2 row + pipeline family keeps a
-    #   multi-green representative in-window). Two anchors double as
-    #   re-verification of the round-8 advisory fixes: window_qualify
-    #   (the QUALIFY qualified-ORDER-BY rewrite narrowing) and
-    #   events_stream_rollup_merge (the decimal accumulator) replaced
-    #   window_row_number and text_winnow_fingerprints, whose r7 greens
-    #   stand on unchanged code and whose families stay covered
-    #   (4 window singles r7-green; text_fuzzy_join + 7 text singles
-    #   in-window) —
+    # Round-9 FRESHNESS rotation (VERDICT r8 task 1): CORRECTNESS_r08 came
+    # back 50/50 (32 first-evers) — the never-driver-checked backlog is
+    # ZERO, so from r9 the window rotates for evidence freshness: it holds
+    # the 46 stalest entries (latest green r2/r3) plus 4 anchors. Anchors:
+    # tpch_q1 (flagship/TPC-H), dml_roundtrip (DML/DDL family — no stale
+    # cohort member covers SURVEY §2.6), window_qualify (re-verifies the
+    # round-9 QUALIFY coalescing-join ORDER-BY fix on the only registry
+    # entry that exercises rewrite_qualify), and embedding_dup_clusters
+    # (its oracle was rebuilt as a bounded probe invariant this round —
+    # the oracle change invalidates its r8 hash evidence, so it MUST
+    # re-verify in-window). Five stale entries roll to the r10 window,
+    # each with same-family in-window cover: union_distinct (union_all),
+    # case_simple (case_searched), ilike_pattern (like_patterns),
+    # join_right_outer (join_left_outer + join_inner + join_non_equi +
+    # cross_join), not_exists_subquery (exists/in/scalar/correlated
+    # subqueries all in-window). Rotated out (all r8-green, untouched
+    # code; family cover in parens): source_csv_roundtrip
+    # (source_ndjson_roundtrip), agg_basic (agg_stats + agg_no_grouping +
+    # group_by_expr), the three §2.3 suites (their singles ARE this
+    # window), join_full_outer (the join singles), events_stream_sliding +
+    # events_stream_rollup_merge + events_stream_heavy_hitters
+    # (events_stream_tumbling anchors streaming), dedup_exact +
+    # dedup_minhash_pairs (dedup_ngram_jaccard in-window; exact/minhash
+    # r8-green), ann_lsh_topk + embedding_semdedup + embedding_centroids
+    # etc. (embedding_cosine_pairs + embedding_dup_clusters in-window),
+    # the text/pipeline/sampling/sketch singles (text_lang_id,
+    # pipeline_mix_corpora, heavy_hitters_events in-window).
     "tpch_q1",
     "dml_roundtrip",
-    "source_csv_roundtrip",
-    "agg_basic",
-    "predicate_suite",
-    "scalar_suite",
-    "subquery_suite",
-    "join_full_outer",
     "window_qualify",
-    "events_stream_sliding",
-    "events_stream_rollup_merge",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "ann_lsh_topk",
-    "embedding_semdedup",
-    "pipeline_pack_bins",
-    "pipeline_training_data",
-    "text_fuzzy_join",
-    # — 32 first-ever checks: events singles (batch analytics over the
-    #   events table) —
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_daily_stats",
-    "events_json_props",
-    "events_variant_props",
-    "events_interval_overlap",
-    # text singles (LLM-pipeline text analysis)
-    "text_token_count",
-    "text_fingerprint",
-    "text_quality",
-    "text_stats_by_source",
-    "vocab_doc_freq",
-    "text_tfidf_top_terms",
-    "text_repetition",
-    # dedup variants
-    "dedup_minhash_signatures",
-    "dedup_simhash_fingerprints",
-    "dedup_minhash_ml",
-    "dedup_stream_exact",
-    # vector / ANN family
-    "vector_norms",
-    "ann_topk_bruteforce",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "embedding_centroids",
     "embedding_dup_clusters",
-    # sketches, sampling, pipeline ops, streaming heavy hitters
-    "sketch_approx_distinct",
-    "sample_topk_per_source",
-    "sample_weighted_ares",
-    "pipeline_profile",
-    "pipeline_shard_counts",
-    "pipeline_quality_checks",
-    "pipeline_psi_drift",
-    "events_stream_heavy_hitters",
+    # — 28 r2-green singles: predicates, scalar exprs, aggregates,
+    #   grouping analytics, subqueries, set ops —
+    "filter_compound",
+    "subquery_alias",
+    "join_left_outer",
+    "in_list",
+    "not_in_with_null",
+    "between_pred",
+    "like_patterns",
+    "case_searched",
+    "cast_expr",
+    "interval_arith",
+    "extract_parts",
+    "date_trunc_agg",
+    "agg_no_grouping",
+    "group_by_expr",
+    "cube_agg",
+    "grouping_sets",
+    "pivot_case",
+    "unpivot_stack",
+    "scalar_subquery",
+    "correlated_scalar_subquery",
+    "exists_subquery",
+    "in_subquery",
+    "union_all",
+    # — 23 r3-green singles: core relational ops, joins, windows, sources,
+    #   and the r3 pipeline/text/events representatives —
+    "projection_arith",
+    "filter_null_kleene",
+    "sort_multi_key",
+    "limit_offset",
+    "topn_orders",
+    "distinct_pairs",
+    "select_no_from",
+    "values_inline",
+    "cross_join",
+    "join_inner",
+    "join_non_equi",
+    "comma_join_elimination",
+    "agg_stats",
+    "intersect_keys",
+    "window_running_sum",
+    "source_ndjson_roundtrip",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_pairs",
+    "events_asof_join",
+    "events_stream_tumbling",
+    "heavy_hitters_events",
+    "pipeline_mix_corpora",
 )
 
 

