@@ -290,7 +290,18 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qurious_spark.operators.components import duplicate_clusters
 
     emb = S.with_double_vec(table(spark, sf_dir, "embeddings"))
-    full = duplicate_clusters(S.cosine_pairs(emb, threshold=COS_THRESH, dim=64))
+    # The O(n^2) pair scan is the expensive term and this invariant query
+    # references its descendants several times (cluster joins below) —
+    # eagerly checkpoint the SMALL frames so the quadratic scan and the
+    # CC resolver each execute exactly once: `pairs` holds only
+    # above-threshold near-dup edges (proportional to duplicates, not the
+    # corpus) and `full` only the duplicate nodes. Without this, Spark
+    # recomputes the 400M-pair cross join per reference (observed: 40+ min
+    # for this one entry at sf1 vs ~25s/entry for the rest of the gate).
+    pairs = S.cosine_pairs(emb, threshold=COS_THRESH, dim=64).localCheckpoint(
+        eager=True
+    )
+    full = duplicate_clusters(pairs).localCheckpoint(eager=True)
     probes = emb.filter(F.col("vec_id") < _PROBE).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("qv"),
@@ -317,6 +328,9 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= COS_THRESH)
         .select("probe_id", "neighbor_id")
+        # referenced twice below (stats + per-edge cluster check); the edge
+        # list is tiny — checkpoint so the O(probe*n) scan runs once
+        .localCheckpoint(eager=True)
     )
     stats = edges.groupBy("probe_id").agg(
         F.count("*").cast("bigint").alias("n_neighbors"),
