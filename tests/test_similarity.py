@@ -102,3 +102,30 @@ def test_cosine_pairs_guard_refuses_oversized_input(spark, embeddings):
     small = embeddings.limit(20)
     rows = cosine_pairs(small, threshold=-1.0, max_rows=25).collect()
     assert len(rows) == 20 * 19 // 2
+
+
+def test_dup_clusters_entry_materializes_expensive_intermediates(spark):
+    """The bounded-invariant embedding_dup_clusters references its
+    clustering frame three times and its probe edge list twice; without
+    eager checkpoints Spark recomputes the O(n^2) pair scan per reference
+    (observed 40+ min at sf1, invisible at test scale). Pin that the final
+    plan reads the materialized (LogicalRDD) intermediates instead of
+    re-deriving them from the parquet scan."""
+    import re
+
+    from qurious_spark.queries import ordered_registry
+
+    fn = ordered_registry()["embedding_dup_clusters"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_rdd = len(re.findall(r"LogicalRDD", plan))
+    assert n_rdd >= 4, (
+        f"expected the cluster/edge references to read checkpointed "
+        f"LogicalRDD scans (>=4), found {n_rdd} — a refactor likely "
+        f"dropped the localCheckpoint calls; see queries/vector.py"
+    )
+    # the full-corpus parquet scan must not appear more than twice in the
+    # final plan (probe side + corpus side of the edge scorer); more means
+    # a cluster reference re-derives the quadratic join from source
+    n_scans = len(re.findall(r"embeddings", plan))
+    assert n_scans <= 2, f"embeddings source re-derived {n_scans}x in: plan"
