@@ -671,6 +671,13 @@ def rewrite_qualify(text: str, wrap: bool = False) -> str:
             # advisor finding). Elsewhere a bare ``SELECT x`` that analyzed
             # is unambiguous (two sources with x would be an analysis
             # error), so t.x == exposed x and bare exposure suffices.
+            # Deliberately OVER-conservative: this scans all of head[f:],
+            # so a USING(...)/NATURAL JOIN inside a derived-table subquery
+            # (or even a string literal) also suppresses the rewrite. The
+            # failure direction is safe — the qualified ORDER BY then fails
+            # analysis LOUDLY instead of ever sorting by the wrong (
+            # non-coalesced) column; no registry or slt query hits the
+            # false-positive case (round-9 advisor note).
             coalescing_join = bool(
                 re.search(
                     r"\bUSING\s*\(|\bNATURAL\s+(?:\w+\s+)*JOIN\b",

@@ -177,7 +177,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dml_roundtrip",
     "window_qualify",
     "embedding_dup_clusters",
-    # — 28 r2-green singles: predicates, scalar exprs, aggregates,
+    # — 23 r2-green singles: predicates, scalar exprs, aggregates,
     #   grouping analytics, subqueries, set ops —
     "filter_compound",
     "subquery_alias",

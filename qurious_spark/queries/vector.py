@@ -286,6 +286,15 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     value or a boolean and the driver row goes red. Resolver exactness at
     full scale is separately evidenced by dedup_clusters (same resolver,
     exact oracle, sf1-green — SCALE.md).
+
+    NOTE: constructing this DataFrame EXECUTES the guarded O(n^2) pair
+    scan and the CC resolver (localCheckpoint(eager=True) below), so
+    plan-inspection/dry-run tooling pays full execution up front; the
+    eager checkpoints are what pin the quadratic scan to exactly one
+    execution for the gate (sf1: 40+ min -> ~677s). localCheckpoint is
+    also non-replayable on executor loss — acceptable here because the
+    checkpointed frames are small (edges + duplicate nodes) and the entry
+    re-runs from source on failure.
     """
     from qurious_spark.operators.components import duplicate_clusters
 

@@ -128,4 +128,4 @@ def test_dup_clusters_entry_materializes_expensive_intermediates(spark):
     # final plan (probe side + corpus side of the edge scorer); more means
     # a cluster reference re-derives the quadratic join from source
     n_scans = len(re.findall(r"embeddings", plan))
-    assert n_scans <= 2, f"embeddings source re-derived {n_scans}x in: plan"
+    assert n_scans <= 2, f"embeddings source re-derived {n_scans}x in: {plan[:4000]}"
