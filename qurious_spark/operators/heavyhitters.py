@@ -65,30 +65,50 @@ def _mg_candidates(key_col: str, capacity: int):
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
-    min_freq_ratio: float,
+    min_freq_ratio: float | None = None,
     capacity: int | None = None,
+    min_count: int | None = None,
 ) -> DataFrame:
-    """Exact keys with frequency >= min_freq_ratio * count(df).
+    """Exact keys with frequency >= min_freq_ratio * count(df), or — when
+    ``min_count`` is given instead — frequency >= min_count (an ABSOLUTE
+    threshold, e.g. a document-frequency floor computed from a different
+    table, so the threshold doesn't shrink with the key-stream size; the
+    final filter is then an exact integer compare, immune to float-tie
+    divergence against the oracle).
 
     Returns (key_col, freq bigint). ``capacity`` is the per-partition
-    counter budget (default 2/ratio — must be >= 1/ratio for the
-    superset guarantee).
+    counter budget (default 2/effective-ratio — must be >= 1/ratio for
+    the superset guarantee; in min_count mode the effective ratio is
+    min_count / count(df), so capacity stays O(n/min_count) and scales
+    with the data automatically).
     """
-    if not (0 < min_freq_ratio <= 1):
-        raise ValueError("min_freq_ratio must be in (0, 1]")
-    capacity = capacity or math.ceil(2.0 / min_freq_ratio)
-    if capacity < math.ceil(1.0 / min_freq_ratio):
-        raise ValueError("capacity below 1/min_freq_ratio loses the superset guarantee")
+    if (min_freq_ratio is None) == (min_count is None):
+        raise ValueError("pass exactly one of min_freq_ratio / min_count")
     keyed = df.select(key_col)
+    n = df.count()
+    if min_count is not None:
+        if min_count < 1:
+            raise ValueError("min_count must be >= 1")
+        effective_ratio = min(1.0, float(min_count) / max(n, 1))
+    else:
+        if not (0 < min_freq_ratio <= 1):
+            raise ValueError("min_freq_ratio must be in (0, 1]")
+        effective_ratio = min_freq_ratio
+    capacity = capacity or math.ceil(2.0 / effective_ratio)
+    if capacity < math.ceil(1.0 / effective_ratio):
+        raise ValueError("capacity below 1/ratio loses the superset guarantee")
     schema = keyed.schema
     candidates = (
         keyed.mapInPandas(_mg_candidates(key_col, capacity), schema=schema)
         .distinct()
     )
-    n = df.count()
-    return (
+    counted = (
         keyed.join(F.broadcast(candidates), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq").cast("double") >= F.lit(float(min_freq_ratio) * n))
+    )
+    if min_count is not None:
+        return counted.filter(F.col("freq") >= F.lit(int(min_count)))
+    return counted.filter(
+        F.col("freq").cast("double") >= F.lit(float(min_freq_ratio) * n)
     )

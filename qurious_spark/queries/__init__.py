@@ -146,87 +146,79 @@ def load_all() -> None:
 # Everything outside the prefix keeps registration order and stays covered
 # by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-9 FRESHNESS rotation (VERDICT r8 task 1): CORRECTNESS_r08 came
-    # back 50/50 (32 first-evers) — the never-driver-checked backlog is
-    # ZERO, so from r9 the window rotates for evidence freshness: it holds
-    # the 46 stalest entries (latest green r2/r3) plus 4 anchors. Anchors:
-    # tpch_q1 (flagship/TPC-H), dml_roundtrip (DML/DDL family — no stale
-    # cohort member covers SURVEY §2.6), window_qualify (re-verifies the
-    # round-9 QUALIFY coalescing-join ORDER-BY fix on the only registry
-    # entry that exercises rewrite_qualify), and embedding_dup_clusters
-    # (its oracle was rebuilt as a bounded probe invariant this round —
-    # the oracle change invalidates its r8 hash evidence, so it MUST
-    # re-verify in-window). Five stale entries roll to the r10 window,
-    # each with same-family in-window cover: union_distinct (union_all),
-    # case_simple (case_searched), ilike_pattern (like_patterns),
-    # join_right_outer (join_left_outer + join_inner + join_non_equi +
-    # cross_join), not_exists_subquery (exists/in/scalar/correlated
-    # subqueries all in-window). Rotated out (all r8-green, untouched
-    # code; family cover in parens): source_csv_roundtrip
-    # (source_ndjson_roundtrip), agg_basic (agg_stats + agg_no_grouping +
-    # group_by_expr), the three §2.3 suites (their singles ARE this
-    # window), join_full_outer (the join singles), events_stream_sliding +
-    # events_stream_rollup_merge + events_stream_heavy_hitters
-    # (events_stream_tumbling anchors streaming), dedup_exact +
-    # dedup_minhash_pairs (dedup_ngram_jaccard in-window; exact/minhash
-    # r8-green), ann_lsh_topk + embedding_semdedup + embedding_centroids
-    # etc. (embedding_cosine_pairs + embedding_dup_clusters in-window),
-    # the text/pipeline/sampling/sketch singles (text_lang_id,
-    # pipeline_mix_corpora, heavy_hitters_events in-window).
+    # Round-10 FRESHNESS rotation (VERDICT r9 task 2, pre-verified through
+    # the local gate): the window takes the planned cohort — the 5 r2
+    # greens rolled from the r9 window, the 7 r4 greens, and all 20 r5
+    # greens — plus the 13 stalest r6 greens to fill the 50 slots, the two
+    # standing anchors (tpch_q1 flagship, dml_roundtrip for SURVEY §2.6,
+    # which no cohort member covers), and the entries whose CODE changed
+    # this round and therefore must re-verify in-window: tpch_q11 +
+    # tpch_q20_partsupp + heavy_hitters_ngrams (their sf1-vacuous
+    # thresholds were made scale-free — VERDICT r9 task 4) and
+    # heavy_hitters_events (shares operators/heavyhitters.py with the
+    # ngrams entry, whose signature gained the min_count mode). Rotated
+    # out (all r9-green, untouched): window_qualify and
+    # embedding_dup_clusters (their r9 re-verification stands), the r2/r3
+    # singles cohort refreshed in r9. Remaining r6 greens (tpch_q9/q12/
+    # q17/q19/q21, text_winnow_overlap, text_duplicate_spans,
+    # dedup_clusters, dedup_incremental, events_stream_interval_join,
+    # events_funnel, udaf_grouped_agg, dml_scd2_dimension,
+    # multimodal_media_stats, sketch_hll_rollup) queue for r11.
     "tpch_q1",
     "dml_roundtrip",
-    "window_qualify",
-    "embedding_dup_clusters",
-    # — 23 r2-green singles: predicates, scalar exprs, aggregates,
-    #   grouping analytics, subqueries, set ops —
-    "filter_compound",
-    "subquery_alias",
-    "join_left_outer",
-    "in_list",
-    "not_in_with_null",
-    "between_pred",
-    "like_patterns",
-    "case_searched",
-    "cast_expr",
-    "interval_arith",
-    "extract_parts",
-    "date_trunc_agg",
-    "agg_no_grouping",
-    "group_by_expr",
-    "cube_agg",
-    "grouping_sets",
-    "pivot_case",
-    "unpivot_stack",
-    "scalar_subquery",
-    "correlated_scalar_subquery",
-    "exists_subquery",
-    "in_subquery",
-    "union_all",
-    # — 23 r3-green singles: core relational ops, joins, windows, sources,
-    #   and the r3 pipeline/text/events representatives —
-    "projection_arith",
-    "filter_null_kleene",
-    "sort_multi_key",
-    "limit_offset",
-    "topn_orders",
-    "distinct_pairs",
-    "select_no_from",
-    "values_inline",
-    "cross_join",
-    "join_inner",
-    "join_non_equi",
-    "comma_join_elimination",
-    "agg_stats",
-    "intersect_keys",
-    "window_running_sum",
-    "source_ndjson_roundtrip",
-    "text_lang_id",
-    "dedup_ngram_jaccard",
-    "embedding_cosine_pairs",
-    "events_asof_join",
-    "events_stream_tumbling",
+    # — changed this round: scale-free thresholds (sf1 de-vacuation) —
+    "tpch_q11",
+    "tpch_q20_partsupp",
     "heavy_hitters_events",
-    "pipeline_mix_corpora",
+    # — 5 r2 greens rolled from the r9 window —
+    "union_distinct",
+    "case_simple",
+    "ilike_pattern",
+    "join_right_outer",
+    "not_exists_subquery",
+    # — 7 r4 greens —
+    "cte_query",
+    "text_pii_redact",
+    "dedup_prefix",
+    "embedding_quantize",
+    "events_retention",
+    "events_gapfill",
+    "merge_upsert",
+    # — 20 r5 greens (incl. heavy_hitters_ngrams, also changed this round) —
+    "join_left_semi",
+    "join_left_anti",
+    "wildcard_qualified",
+    "is_null_checks",
+    "agg_distinct",
+    "having_filter",
+    "recursive_cte_months",
+    "tpch_q11_partsupp",
+    "text_chunk_documents",
+    "text_length_filter",
+    "dedup_resolve",
+    "dedup_simhash_pairs",
+    "events_stream_session",
+    "udf_vectorized",
+    "multimodal_image_features",
+    "sketch_bitmap_distinct",
+    "heavy_hitters_ngrams",
+    "sample_stratified_hash",
+    "pipeline_decontaminate",
+    "pipeline_split_train",
+    # — 13 stalest r6 greens —
+    "rollup_agg",
+    "except_keys",
+    "window_rank_dense",
+    "range_join_binned",
+    "string_functions",
+    "date_functions",
+    "source_copy_tbl",
+    "source_orc_roundtrip",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
 )
 
 

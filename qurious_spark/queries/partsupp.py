@@ -115,10 +115,14 @@ sql_query(
     SELECT s.s_name, n.n_name
     FROM supplier s, nation n
     WHERE s.s_nationkey = n.n_nationkey
-      -- NATION_9: the nation with qualifying suppliers at sf0.01 (NATION_3
-      -- has none — the q20 availqty condition left the result vacuously
-      -- empty, caught by the gate's VACUOUS warning)
-      AND n.n_name = 'NATION_9'
+      -- q20's single-nation filter, generalized to a REGION: a hardcoded
+      -- nation name is data-pick-dependent (NATION_9 was chosen because it
+      -- had qualifying suppliers at sf0.01; any single nation can go empty
+      -- at another SF — round-9 sf1-gate find), while nation/region are
+      -- fixed-cardinality tables (25/5) at every SF, so a region keeps the
+      -- selective dimension filter scale-free (13 / 207 / 2070 suppliers
+      -- at sf0.01/0.1/1)
+      AND n.n_regionkey = 0
       AND s.s_suppkey IN (
           SELECT ps.ps_suppkey
           FROM partsupp ps

@@ -172,24 +172,36 @@ sql_query(
     SELECT g, CAST(COUNT(*) AS BIGINT) AS freq
     FROM g
     GROUP BY g
-    HAVING CAST(COUNT(*) AS DOUBLE)
-           >= CAST(0.0015 AS DOUBLE) * (SELECT COUNT(*) FROM g)
+    HAVING COUNT(*) * 50 >= (SELECT COUNT(*) FROM documents)
     ORDER BY g
     """,
 )
 def heavy_hitters_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate detection: 2-gram shingles appearing in an outsized share
-    of documents, found with the same two-pass exact heavy-hitters operator
+    """Boilerplate detection: 2-gram shingles appearing in >= 2% of
+    documents, found with the same two-pass exact heavy-hitters operator
     as heavy_hitters_events — per-partition Misra-Gries candidates over the
     exploded shingle stream (zero shuffle), exact recount of candidates
     only. This is the corpus-scale shape: the shingle stream at 100 TB has
     billions of distinct grams, and this plan never shuffles them all —
     only candidate grams (bounded by capacity x partitions) are recounted.
-    Shingles are distinct-per-doc, so freq = document frequency."""
+    Shingles are distinct-per-doc, so freq = document frequency; the
+    threshold is a DOC-frequency floor (ceil(n_docs/50)), not a fraction
+    of the gram stream — a stream-fraction threshold goes vacuous as the
+    vocabulary outgrows it (0.0015 selected 39 grams at sf0.01 and ZERO
+    at sf0.1/sf1 — round-9 sf1-gate find), while boilerplate density per
+    document is scale-free (900 / 900 / 9 grams at sf0.01/0.1/1). The
+    integer compare freq*50 >= n_docs is tie-exact against the oracle
+    (no float threshold), and the Misra-Gries capacity self-scales as
+    O(stream/min_count) inside the operator."""
+    import math
+
     from qurious_spark.operators.dedup import shingles
     from qurious_spark.operators.heavyhitters import heavy_hitters
     from qurious_spark.queries import table
 
     docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
     grams = docs.select(F.explode(shingles(F.col("text"), 2)).alias("g"))
-    return heavy_hitters(grams, "g", 0.0015).orderBy("g")
+    return heavy_hitters(
+        grams, "g", min_count=max(1, math.ceil(n_docs / 50))
+    ).orderBy("g")

@@ -352,11 +352,14 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query(
     "tpch_q11",
     """
-    SELECT l_partkey, CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))), 2) AS DOUBLE) AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE) > (
-        SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE) * 0.0001 FROM lineitem
+    WITH pv AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,4))) AS v
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(v AS DOUBLE) > (
+        SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1.5 FROM pv
     )
     ORDER BY part_value DESC, l_partkey
     """,
@@ -372,12 +375,20 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (which funnels all |parts| rows through a single partition — a
     # scale-killer at 10^8 parts), this moves exactly one row per upstream
     # partition into the scalar agg and ships a 1-row broadcast back out.
-    total = grouped.agg(F.sum("pv_dec").alias("tot_dec"))
+    # Threshold = 1.5x the MEAN per-part value: TPC-H's own 0.0001 fraction
+    # is SF-relative (the spec divides it by SF) and a fixed fraction goes
+    # vacuous as parts grow (sf0.01: all 2000 parts; sf1: zero — round-9
+    # sf1-gate find); the mean-relative form selects a stable ~2.5% of
+    # parts at every scale (49 / 514 / 5140 at sf0.01/0.1/1). IEEE op
+    # order (divide, then *1.5) mirrors the oracle text exactly.
+    total = grouped.agg(
+        F.sum("pv_dec").alias("tot_dec"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         grouped.crossJoin(F.broadcast(total))
         .filter(
             F.col("pv_dec").cast("double")
-            > F.col("tot_dec").cast("double") * F.lit(0.0001)
+            > F.col("tot_dec").cast("double") / F.col("n_parts") * F.lit(1.5)
         )
         .select(
             "l_partkey",

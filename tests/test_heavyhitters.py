@@ -58,6 +58,31 @@ def test_heavy_hitters_rejects_bad_params(spark, events):
         heavy_hitters(events, "user_id", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(events, "user_id", 0.5, capacity=1)
+    with pytest.raises(ValueError):  # exactly one of ratio / min_count
+        heavy_hitters(events, "user_id")
+    with pytest.raises(ValueError):
+        heavy_hitters(events, "user_id", 0.1, min_count=5)
+    with pytest.raises(ValueError):
+        heavy_hitters(events, "user_id", min_count=0)
+
+
+def test_heavy_hitters_min_count_matches_exact_groupby(spark, events):
+    """Absolute-threshold mode (used by heavy_hitters_ngrams for its
+    doc-frequency floor): exact integer filter, same superset guarantee
+    via the self-scaled capacity."""
+    min_count = 1 + events.count() // events.select("user_id").distinct().count()
+    got = {
+        (r.user_id, r.freq)
+        for r in heavy_hitters(events, "user_id", min_count=min_count).collect()
+    }
+    exact = {
+        (r.user_id, r.freq)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+        .collect()
+    }
+    assert got == exact and got
 
 
 def test_count_min_sketch_bounds(spark, events):
