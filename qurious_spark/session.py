@@ -83,7 +83,15 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
             .config("spark.ui.enabled", "false")
-            .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            # 64 MB default keeps every TPC-H-shaped dimension broadcast; a
+            # cluster deployment (or the join-strategy-independence gate,
+            # which sets -1 to force sort-merge everywhere) overrides by env.
+            .config(
+                "spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get(
+                    "SPARK_GRAFT_BROADCAST_THRESHOLD", str(64 * 1024 * 1024)
+                ),
+            )
             .config("spark.sql.files.maxPartitionBytes", max_part)
             # bucketed saveAsTable targets (sources/bucketing.py) land here,
             # not in the repo working tree
