@@ -76,7 +76,13 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
                 os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus),
             )
             .config("spark.default.parallelism", cpus)
-            .config("spark.sql.adaptive.enabled", "true")
+            # AQE on by default; the AQE-independence gate sets this to
+            # "false" to prove results don't depend on runtime re-planning
+            # (coalesced partitions, skew-join splits, join-strategy flips).
+            .config(
+                "spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"),
+            )
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
