@@ -12,6 +12,16 @@ Noise control: the observed idle-box run-to-run spread on the suite total is
 misread as a regression. The harness therefore runs BENCH_REPEATS timed
 passes (default 3) after warmup and reports the MEDIAN pass, per-query times
 taken from that same pass. The machine must be otherwise idle.
+
+Self-defense against post-gate box state (VERDICT r10 task 1): the driver
+benches minutes after its own 50-query correctness gate, exactly the
+post-load page-cache state BASELINE.md's protocol says to discard (BENCH_r10
+read 25.1s, 1.31x the idle tree, with 26/29 queries inflated together).
+Before the timed passes the harness now (a) explicitly re-warms the OS page
+cache by reading every byte of $SPARK_GRAFT_SF_DIR/*.parquet — the "cat
+trick" that restored 19.24s in the r9 battery — and (b) records a `context`
+sidecar in the JSON line (1-min loadavg + a timed warm-read throughput
+probe) so an inflated reading is self-diagnosing instead of protocol-bound.
 """
 
 from __future__ import annotations
@@ -56,6 +66,42 @@ HEADLINE = [
 ]
 
 
+def _rewarm_page_cache(sf_dir: str) -> dict[str, float]:
+    """Read every byte of the benchmark inputs twice and report throughput.
+
+    Pass 1 pulls the parquet back into the OS page cache (evicted by
+    whatever ran before us — the driver's correctness gate, a fuzz soak);
+    pass 2 re-reads from the now-warm cache as a box-state probe: a warm
+    re-read far below memory bandwidth (< ~1 GB/s) means the box is under
+    memory pressure and the suite total should be read with that context.
+    """
+    paths: list[str] = []
+    for root, _dirs, files in os.walk(sf_dir):
+        paths.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+
+    def read_all() -> tuple[float, int]:
+        t0 = time.time()
+        n = 0
+        for p in sorted(paths):
+            with open(p, "rb", buffering=0) as fh:
+                while True:
+                    chunk = fh.read(1 << 22)
+                    if not chunk:
+                        break
+                    n += len(chunk)
+        return time.time() - t0, n
+
+    rewarm_sec, nbytes = read_all()
+    probe_sec, _ = read_all()
+    mb = nbytes / 1e6
+    return {
+        "input_mb": round(mb, 1),
+        "rewarm_sec": round(rewarm_sec, 3),
+        "rewarm_mb_s": round(mb / rewarm_sec, 1) if rewarm_sec > 0 else -1.0,
+        "warm_read_mb_s": round(mb / probe_sec, 1) if probe_sec > 0 else -1.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -89,6 +135,11 @@ def main() -> None:
     spark._jvm.System.gc()
     time.sleep(1)
 
+    # explicit page-cache rewarm + box-state probe (see module docstring)
+    context = _rewarm_page_cache(sf_dir)
+    context["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    print(f"# context: {json.dumps(context)}", file=sys.stderr)
+
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     passes: list[tuple[float, dict[str, float]]] = []
     for i in range(repeats):
@@ -117,6 +168,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "passes": [round(t, 3) for t, _ in passes],
+                "context": context,
             }
         )
     )

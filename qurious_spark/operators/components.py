@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from qurious_spark.checkpoint import checkpoint as _checkpoint
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -85,10 +86,10 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("node")))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = _checkpoint(edges, eager=True)
     prev: tuple | None = None
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _checkpoint(_small_star(_large_star(edges)), eager=True)
         chk = tuple(
             edges.agg(
                 F.count("*"),

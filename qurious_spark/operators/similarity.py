@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qurious_spark.functions import vector as V
+from qurious_spark.checkpoint import checkpoint as _checkpoint
 
 
 def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -409,7 +410,7 @@ def pq_codebooks(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
             .select("s", "code", F.transform("pairs", lambda p: p["cv"]).alias("centroid"))
         )
-        cent = cent.localCheckpoint(eager=True)  # truncate the lineage per round
+        cent = _checkpoint(cent, eager=True)  # truncate the lineage per round
     return cent
 
 

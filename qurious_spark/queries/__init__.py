@@ -146,79 +146,68 @@ def load_all() -> None:
 # Everything outside the prefix keeps registration order and stays covered
 # by the local oracle gate (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 FRESHNESS rotation (VERDICT r9 task 2, pre-verified through
-    # the local gate): the window takes the planned cohort — the 5 r2
-    # greens rolled from the r9 window, the 7 r4 greens, and all 20 r5
-    # greens — plus the 13 stalest r6 greens to fill the 50 slots, the two
-    # standing anchors (tpch_q1 flagship, dml_roundtrip for SURVEY §2.6,
-    # which no cohort member covers), and the entries whose CODE changed
-    # this round and therefore must re-verify in-window: tpch_q11 +
-    # tpch_q20_partsupp + heavy_hitters_ngrams (their sf1-vacuous
-    # thresholds were made scale-free — VERDICT r9 task 4) and
-    # heavy_hitters_events (shares operators/heavyhitters.py with the
-    # ngrams entry, whose signature gained the min_count mode). Rotated
-    # out (all r9-green, untouched): window_qualify and
-    # embedding_dup_clusters (their r9 re-verification stands), the r2/r3
-    # singles cohort refreshed in r9. Remaining r6 greens (tpch_q9/q12/
-    # q17/q19/q21, text_winnow_overlap, text_duplicate_spans,
-    # dedup_clusters, dedup_incremental, events_stream_interval_join,
-    # events_funnel, udaf_grouped_agg, dml_scd2_dimension,
-    # multimodal_media_stats, sketch_hll_rollup) queue for r11.
+    # Round-11 FRESHNESS rotation (VERDICT r10 task 3, pre-verified through
+    # the local gate): the two standing anchors (tpch_q1 flagship,
+    # dml_roundtrip for SURVEY §2.6), ALL 15 remaining r6 greens, ALL 31
+    # r7 greens, and — with no query code changed this round (round 11 is
+    # bench hygiene + independence gates only) — the two first-in-registry
+    # r8 greens (join_full_outer, agg_basic) to fill the 50 slots. After
+    # this window lands, no entry's latest driver green is older than r8.
+    # Rotated out (all r10-green, untouched): the entire r10 window except
+    # the anchors.
     "tpch_q1",
     "dml_roundtrip",
-    # — changed this round: scale-free thresholds (sf1 de-vacuation) —
-    "tpch_q11",
-    "tpch_q20_partsupp",
-    "heavy_hitters_events",
-    # — 5 r2 greens rolled from the r9 window —
-    "union_distinct",
-    "case_simple",
-    "ilike_pattern",
-    "join_right_outer",
-    "not_exists_subquery",
-    # — 7 r4 greens —
-    "cte_query",
-    "text_pii_redact",
-    "dedup_prefix",
-    "embedding_quantize",
-    "events_retention",
-    "events_gapfill",
-    "merge_upsert",
-    # — 20 r5 greens (incl. heavy_hitters_ngrams, also changed this round) —
-    "join_left_semi",
-    "join_left_anti",
-    "wildcard_qualified",
-    "is_null_checks",
-    "agg_distinct",
-    "having_filter",
-    "recursive_cte_months",
-    "tpch_q11_partsupp",
-    "text_chunk_documents",
-    "text_length_filter",
-    "dedup_resolve",
-    "dedup_simhash_pairs",
-    "events_stream_session",
-    "udf_vectorized",
-    "multimodal_image_features",
-    "sketch_bitmap_distinct",
-    "heavy_hitters_ngrams",
-    "sample_stratified_hash",
-    "pipeline_decontaminate",
-    "pipeline_split_train",
-    # — 13 stalest r6 greens —
-    "rollup_agg",
-    "except_keys",
-    "window_rank_dense",
-    "range_join_binned",
-    "string_functions",
-    "date_functions",
-    "source_copy_tbl",
-    "source_orc_roundtrip",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
+    # — 15 r6 greens (the stalest cohort) —
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q21",
+    "text_winnow_overlap",
+    "text_duplicate_spans",
+    "dedup_clusters",
+    "dedup_incremental",
+    "events_stream_interval_join",
+    "events_funnel",
+    "udaf_grouped_agg",
+    "dml_scd2_dimension",
+    "multimodal_media_stats",
+    "sketch_hll_rollup",
+    # — 31 r7 greens —
+    "window_row_number",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_ntile_percent",
+    "math_functions",
+    "conditional_functions",
+    "regexp_functions",
+    "array_functions",
+    "string_agg",
+    "hash_functions",
+    "source_uint_parquet",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q2_partsupp",
+    "tpch_q16_partsupp",
+    "text_winnow_fingerprints",
+    "events_stream_gapfill",
+    "catalog_information_schema",
+    "dml_update_from",
+    "dml_scd2_stream",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "sketch_quantiles",
+    # — 2 stalest r8 greens (fill) —
+    "join_full_outer",
+    "agg_basic",
 )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qurious_spark.checkpoint import checkpoint as _checkpoint
 from qurious_spark.functions import vector as V
 from qurious_spark.operators import similarity as S
 from qurious_spark.queries import df_query, register, table
@@ -288,13 +289,15 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle, sf1-green — SCALE.md).
 
     NOTE: constructing this DataFrame EXECUTES the guarded O(n^2) pair
-    scan and the CC resolver (localCheckpoint(eager=True) below), so
+    scan and the CC resolver (the eager _checkpoint calls below), so
     plan-inspection/dry-run tooling pays full execution up front; the
     eager checkpoints are what pin the quadratic scan to exactly one
-    execution for the gate (sf1: 40+ min -> ~677s). localCheckpoint is
-    also non-replayable on executor loss — acceptable here because the
-    checkpointed frames are small (edges + duplicate nodes) and the entry
-    re-runs from source on failure.
+    execution for the gate (sf1: 40+ min -> ~677s). Locally the shim uses
+    localCheckpoint, which is non-replayable on executor loss —
+    acceptable here because the checkpointed frames are small (edges +
+    duplicate nodes) and the entry re-runs from source on failure; on a
+    cluster set SPARK_GRAFT_CHECKPOINT_DIR to switch every site to
+    reliable checkpoint() (qurious_spark/checkpoint.py).
     """
     from qurious_spark.operators.components import duplicate_clusters
 
@@ -307,10 +310,10 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus) and `full` only the duplicate nodes. Without this, Spark
     # recomputes the 400M-pair cross join per reference (observed: 40+ min
     # for this one entry at sf1 vs ~25s/entry for the rest of the gate).
-    pairs = S.cosine_pairs(emb, threshold=COS_THRESH, dim=64).localCheckpoint(
-        eager=True
+    pairs = _checkpoint(
+        S.cosine_pairs(emb, threshold=COS_THRESH, dim=64), eager=True
     )
-    full = duplicate_clusters(pairs).localCheckpoint(eager=True)
+    full = _checkpoint(duplicate_clusters(pairs), eager=True)
     probes = emb.filter(F.col("vec_id") < _PROBE).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("qv"),
@@ -337,10 +340,10 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= COS_THRESH)
         .select("probe_id", "neighbor_id")
-        # referenced twice below (stats + per-edge cluster check); the edge
-        # list is tiny — checkpoint so the O(probe*n) scan runs once
-        .localCheckpoint(eager=True)
     )
+    # referenced twice below (stats + per-edge cluster check); the edge
+    # list is tiny — checkpoint so the O(probe*n) scan runs once
+    edges = _checkpoint(edges, eager=True)
     stats = edges.groupBy("probe_id").agg(
         F.count("*").cast("bigint").alias("n_neighbors"),
         F.min("neighbor_id").cast("bigint").alias("min_neighbor"),

@@ -15,7 +15,9 @@ pieces Spark does not give us for free:
   (reference: qurious/src/execution/information_schema.rs:12-46).
 
 Scale notes (100 TB): the session never collects to the driver; managed-table
-mutations build union/filter plans lazily and localCheckpoint() after a
+mutations build union/filter plans lazily and checkpoint (the shim in
+qurious_spark/checkpoint.py: local by default, reliable when
+SPARK_GRAFT_CHECKPOINT_DIR is set) after a
 mutation-depth threshold so plan size stays bounded (SURVEY.md §7.4.5).
 """
 
@@ -36,6 +38,7 @@ from qurious_spark.dialect import (
     rewrite_qualify,
     rewrite_table_functions,
 )
+from qurious_spark.checkpoint import checkpoint as _checkpoint
 
 _lock = threading.Lock()
 
@@ -50,6 +53,62 @@ CHECKPOINT_EVERY = 16
 SNAPSHOT_KEEP = 8
 
 
+def _env_bool(name: str, default: str) -> str:
+    """Normalize a boolean-ish env var to the 'true'/'false' Spark expects.
+
+    Accepts 1/0, yes/no, on/off, true/false in any case with whitespace; a
+    value like '0' or 'off' passed verbatim into spark.sql.adaptive.enabled
+    would otherwise fail at QUERY time with an opaque
+    IllegalArgumentException instead of at session build (ADVICE r10)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if v in ("true", "1", "yes", "on"):
+        return "true"
+    if v in ("false", "0", "no", "off"):
+        return "false"
+    raise ValueError(
+        f"{name}={raw!r} is not a recognized boolean "
+        "(use true/false, 1/0, yes/no, or on/off)"
+    )
+
+
+# (conf key, env var, normalizer) pairs checked when get_spark reuses an
+# already-active session: a perturbation env var set AFTER the session was
+# built would otherwise be silently ignored and an "independence gate" run
+# that way would report a vacuous pass (ADVICE r10). The gates run as fresh
+# processes (tools/check_correctness.py subprocess-per-entry is not how they
+# work — they export the env before the first get_spark), so this check only
+# fires on misuse.
+_ENV_CONF_CHECKS: tuple[tuple[str, str, object], ...] = (
+    ("spark.sql.adaptive.enabled", "SPARK_GRAFT_AQE", lambda r: _env_bool("SPARK_GRAFT_AQE", "true")),
+    ("spark.sql.ansi.enabled", "SPARK_GRAFT_ANSI", lambda r: _env_bool("SPARK_GRAFT_ANSI", "true")),
+    ("spark.sql.autoBroadcastJoinThreshold", "SPARK_GRAFT_BROADCAST_THRESHOLD", lambda r: r.strip()),
+)
+
+
+def _check_env_conf(active: SparkSession) -> None:
+    """Raise if an explicitly-set perturbation env var disagrees with the
+    already-active session's conf — the env can only take effect in a fresh
+    process, and silently returning the old session would make a
+    perturbation-gate run vacuous."""
+    for key, env, want_fn in _ENV_CONF_CHECKS:
+        raw = os.environ.get(env)
+        if raw is None:
+            continue
+        want = want_fn(raw)
+        have = active.conf.get(key, None)
+        # Spark reports byte-sized confs canonically (e.g. '-1b' for -1)
+        if have is not None and have.lower().rstrip("b") != want.lower().rstrip("b"):
+            raise RuntimeError(
+                f"{env}={raw!r} requests {key}={want} but the active "
+                f"SparkSession has {key}={have}; perturbation env vars "
+                "require a fresh process (set them before the first "
+                "get_spark call)"
+            )
+
+
 def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -61,6 +120,7 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
     with _lock:
         active = SparkSession.getActiveSession()
         if active is not None:
+            _check_env_conf(active)
             return active
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = master or f"local[{cpus}]"
@@ -81,7 +141,17 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
             # (coalesced partitions, skew-join splits, join-strategy flips).
             .config(
                 "spark.sql.adaptive.enabled",
-                os.environ.get("SPARK_GRAFT_AQE", "true"),
+                _env_bool("SPARK_GRAFT_AQE", "true"),
+            )
+            # ANSI SQL mode: Spark 4.x defaults this to true (strict
+            # overflow/cast/divide-by-zero); every driver-green round to
+            # date therefore ran under ANSI=true. The ANSI-independence
+            # gate sets SPARK_GRAFT_ANSI=false (a Spark 3.x cluster's
+            # default) to prove results don't depend on the mode either
+            # way — the one config axis a real cluster migration flips.
+            .config(
+                "spark.sql.ansi.enabled",
+                _env_bool("SPARK_GRAFT_ANSI", "true"),
             )
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -170,7 +240,7 @@ class ManagedTable:
         if self._mutations % CHECKPOINT_EVERY == 0:
             # Truncate the union/filter plan chain; eager=False keeps it lazy
             # until next action but breaks lineage for planning purposes.
-            self.df = self.df.localCheckpoint(eager=True)
+            self.df = _checkpoint(self.df, eager=True)
         self.version += 1
         self.snapshots[self.version] = self.df
         for v in [v for v in self.snapshots if v <= self.version - SNAPSHOT_KEEP]:

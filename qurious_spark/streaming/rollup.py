@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from qurious_spark.checkpoint import checkpoint as _checkpoint
 
 
 def incremental_count_rollup(
@@ -45,7 +46,7 @@ def incremental_count_rollup(
         # materialize: the rollup table's lazy plan must reference THIS
         # batch's rows, not a later re-computation of the streaming source
         # (also detaches the frame from the micro-batch's cloned session)
-        part = part.localCheckpoint(eager=True)
+        part = _checkpoint(part, eager=True)
         # <=> (null-safe): a NULL grouping key is ONE group, like GROUP BY —
         # an equi-join ON would never match it and every batch would insert
         # a fresh NULL-key row. The total_value CASE mirrors SUM's

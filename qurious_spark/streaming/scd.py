@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qurious_spark.operators.scd import scd2_merge
+from qurious_spark.checkpoint import checkpoint as _checkpoint
 
 
 def scd2_stream(
@@ -58,7 +59,7 @@ def scd2_stream(
         batch_ts = batch_df.agg(F.max(ts_col)).collect()[0][0]
         # detach from the micro-batch's cloned session before mutating the
         # managed table (same rule as streaming/rollup.py)
-        latest = latest.localCheckpoint(eager=True)
+        latest = _checkpoint(latest, eager=True)
         dim = session.table(table_name)
         # monotonicity clamp (round-5 advisor finding): a late-arriving
         # drain whose max event time precedes an open version's valid_from
@@ -78,9 +79,10 @@ def scd2_stream(
         )
         if floor_ts is not None and batch_ts < floor_ts:
             batch_ts = floor_ts
-        merged = scd2_merge(
-            dim, latest, key_col, attr_cols, str(batch_ts)
-        ).localCheckpoint(eager=True)
+        merged = _checkpoint(
+            scd2_merge(dim, latest, key_col, attr_cols, str(batch_ts)),
+            eager=True,
+        )
         session.replace_table_data(table_name, merged)
 
     q = (

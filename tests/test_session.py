@@ -483,3 +483,52 @@ def test_qualify_order_by_unselected_base_column(fresh):
     ).collect()
     assert [(r.grp, r.v) for r in rows] == [("a", 20), ("b", 50)]
     assert list(rows[0].asDict().keys()) == ["grp", "v"]
+
+
+def test_env_bool_normalization(monkeypatch):
+    """SPARK_GRAFT_AQE-style env values normalize to Spark's true/false
+    at session build time; unrecognized values raise immediately instead
+    of failing later with an opaque IllegalArgumentException (ADVICE r10)."""
+    from qurious_spark.session import _env_bool
+
+    for raw, want in [
+        ("true", "true"), ("TRUE", "true"), (" 1 ", "true"),
+        ("yes", "true"), ("on", "true"),
+        ("false", "false"), ("False ", "false"), ("0", "false"),
+        ("no", "false"), ("OFF", "false"),
+    ]:
+        monkeypatch.setenv("SPARK_GRAFT_AQE", raw)
+        assert _env_bool("SPARK_GRAFT_AQE", "true") == want, raw
+    monkeypatch.delenv("SPARK_GRAFT_AQE")
+    assert _env_bool("SPARK_GRAFT_AQE", "true") == "true"
+    monkeypatch.setenv("SPARK_GRAFT_AQE", "maybe")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_AQE"):
+        _env_bool("SPARK_GRAFT_AQE", "true")
+
+
+def test_get_spark_rejects_stale_env_on_reuse(spark, monkeypatch):
+    """A perturbation env var set AFTER the session exists must raise, not
+    silently return the old session — an independence-gate run that way
+    would report a vacuous pass (ADVICE r10)."""
+    from qurious_spark.session import get_spark
+
+    # matching values reuse fine (session built with AQE/ANSI defaults on)
+    monkeypatch.setenv("SPARK_GRAFT_AQE", spark.conf.get("spark.sql.adaptive.enabled"))
+    assert get_spark() is spark
+    monkeypatch.setenv("SPARK_GRAFT_AQE", "maybe")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_AQE"):
+        get_spark()
+    # a mismatching explicit request raises with a fresh-process hint
+    flipped = "false" if spark.conf.get("spark.sql.adaptive.enabled") == "true" else "true"
+    monkeypatch.setenv("SPARK_GRAFT_AQE", flipped)
+    with pytest.raises(RuntimeError, match="fresh process"):
+        get_spark()
+    monkeypatch.delenv("SPARK_GRAFT_AQE")
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BROADCAST_THRESHOLD",
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    )
+    assert get_spark() is spark
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_THRESHOLD", "-1")
+    with pytest.raises(RuntimeError, match="fresh process"):
+        get_spark()
