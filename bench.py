@@ -103,6 +103,10 @@ def _rewarm_page_cache(sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # sample load BEFORE any Spark work: the warmup pass itself drives the
+    # 1-min loadavg to ~4+, so a post-warmup sample can't distinguish "box
+    # was busy when the bench started" from "the bench is running"
+    loadavg_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -137,6 +141,7 @@ def main() -> None:
 
     # explicit page-cache rewarm + box-state probe (see module docstring)
     context = _rewarm_page_cache(sf_dir)
+    context["loadavg_start"] = loadavg_start
     context["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(f"# context: {json.dumps(context)}", file=sys.stderr)
 
