@@ -28,6 +28,31 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     if not ckdir:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
+    current = sc.getCheckpointDir()
+    if current is None:
         sc.setCheckpointDir(ckdir)
+    elif _base_dir(current) != _base_dir(ckdir):
+        # first-writer-wins would silently checkpoint to the OLD directory,
+        # defeating the reliability guarantee the env var requests — raise,
+        # mirroring session._check_env_conf for the other env knobs. (Spark
+        # appends a per-context UUID subdir, hence the base-dir compare.)
+        raise RuntimeError(
+            f"SPARK_GRAFT_CHECKPOINT_DIR={ckdir!r} but this SparkContext "
+            f"already checkpoints under {current!r}; one process uses one "
+            "checkpoint dir — set the env before the first checkpoint call"
+        )
     return df.checkpoint(eager=eager)
+
+
+def _base_dir(path: str) -> str:
+    """Normalize for comparison: strip scheme, trailing slash, and the
+    per-context UUID subdir Spark appends in setCheckpointDir."""
+    p = path.split("://", 1)[-1]
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    p = p.rstrip("/")
+    leaf = p.rsplit("/", 1)[-1]
+    # a 36-char 8-4-4-4-12 hex leaf is Spark's generated UUID subdir
+    if len(leaf) == 36 and leaf.count("-") == 4:
+        p = p.rsplit("/", 1)[0]
+    return p

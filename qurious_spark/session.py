@@ -74,17 +74,37 @@ def _env_bool(name: str, default: str) -> str:
     )
 
 
-# (conf key, env var, normalizer) pairs checked when get_spark reuses an
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(text: str) -> int | None:
+    """Parse a Spark byte-size conf string ('64m', '-1', '67108864', '1g')
+    to bytes; None if unparseable. Needed so semantically-equal spellings
+    ('64m' vs '67108864') compare equal instead of raising spuriously."""
+    v = text.strip().lower()
+    mult = 1
+    if v and v[-1] in _SIZE_SUFFIX:
+        mult = _SIZE_SUFFIX[v[-1]]
+        v = v[:-1]
+    try:
+        return int(v) * mult
+    except ValueError:
+        return None
+
+
+# (conf key, env var, value kind) rows checked when get_spark reuses an
 # already-active session: a perturbation env var set AFTER the session was
 # built would otherwise be silently ignored and an "independence gate" run
-# that way would report a vacuous pass (ADVICE r10). The gates run as fresh
-# processes (tools/check_correctness.py subprocess-per-entry is not how they
-# work — they export the env before the first get_spark), so this check only
-# fires on misuse.
-_ENV_CONF_CHECKS: tuple[tuple[str, str, object], ...] = (
-    ("spark.sql.adaptive.enabled", "SPARK_GRAFT_AQE", lambda r: _env_bool("SPARK_GRAFT_AQE", "true")),
-    ("spark.sql.ansi.enabled", "SPARK_GRAFT_ANSI", lambda r: _env_bool("SPARK_GRAFT_ANSI", "true")),
-    ("spark.sql.autoBroadcastJoinThreshold", "SPARK_GRAFT_BROADCAST_THRESHOLD", lambda r: r.strip()),
+# that way would report a vacuous pass (ADVICE r10). Covers all five
+# perturbation axes: AQE, ANSI, broadcast threshold, shuffle width, and
+# core count. The gates export the env before the first get_spark, so this
+# check only fires on misuse.
+_ENV_CONF_CHECKS: tuple[tuple[str, str, str], ...] = (
+    ("spark.sql.adaptive.enabled", "SPARK_GRAFT_AQE", "bool"),
+    ("spark.sql.ansi.enabled", "SPARK_GRAFT_ANSI", "bool"),
+    ("spark.sql.autoBroadcastJoinThreshold", "SPARK_GRAFT_BROADCAST_THRESHOLD", "bytes"),
+    ("spark.sql.shuffle.partitions", "SPARK_GRAFT_SHUFFLE_PARTITIONS", "raw"),
+    ("spark.default.parallelism", "SPARK_GRAFT_CPUS", "raw"),
 )
 
 
@@ -93,14 +113,21 @@ def _check_env_conf(active: SparkSession) -> None:
     already-active session's conf — the env can only take effect in a fresh
     process, and silently returning the old session would make a
     perturbation-gate run vacuous."""
-    for key, env, want_fn in _ENV_CONF_CHECKS:
+    for key, env, kind in _ENV_CONF_CHECKS:
         raw = os.environ.get(env)
         if raw is None:
             continue
-        want = want_fn(raw)
+        want = _env_bool(env, "true") if kind == "bool" else raw.strip()
         have = active.conf.get(key, None)
-        # Spark reports byte-sized confs canonically (e.g. '-1b' for -1)
-        if have is not None and have.lower().rstrip("b") != want.lower().rstrip("b"):
+        if have is None:
+            continue
+        if kind == "bytes":
+            # compare numerically: '64m' == '67108864' == '64mb'
+            wb, hb = _parse_bytes(want), _parse_bytes(have)
+            same = wb is not None and wb == hb
+        else:
+            same = have.strip().lower() == want.lower()
+        if not same:
             raise RuntimeError(
                 f"{env}={raw!r} requests {key}={want} but the active "
                 f"SparkSession has {key}={have}; perturbation env vars "
@@ -169,6 +196,13 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
                 ),
             )
             .config("spark.sql.files.maxPartitionBytes", max_part)
+            # reliable-checkpoint mode (SPARK_GRAFT_CHECKPOINT_DIR, see
+            # qurious_spark/checkpoint.py) writes a full RDD copy per
+            # checkpoint; without this cleaner flag Spark NEVER deletes
+            # them, so an iterative CC run or a long streaming job grows
+            # the checkpoint volume without bound. No-op for the default
+            # localCheckpoint path.
+            .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
             # bucketed saveAsTable targets (sources/bucketing.py) land here,
             # not in the repo working tree
             .config(

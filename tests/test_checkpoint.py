@@ -4,6 +4,8 @@ switch for the components/mutation-chain lineage truncation)."""
 
 import os
 
+import pytest
+
 from qurious_spark.checkpoint import checkpoint
 
 
@@ -18,6 +20,11 @@ def test_local_by_default(spark, monkeypatch):
 
 
 def test_reliable_when_dir_set(spark, monkeypatch, tmp_path):
+    """NOTE: this test pins the shared SparkContext's checkpoint dir for the
+    rest of the pytest session (Spark has no unset API). That is safe: the
+    default localCheckpoint path never consults it, and a conflicting
+    reliable-mode request raises loudly (tested below) instead of silently
+    checkpointing to the stale dir."""
     ckdir = str(tmp_path / "ck")
     monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
     out = checkpoint(spark.range(7))
@@ -31,3 +38,23 @@ def test_reliable_when_dir_set(spark, monkeypatch, tmp_path):
         for f in fs
     ]
     assert written, "reliable checkpoint wrote no files"
+
+    # re-using the SAME base dir is fine even though Spark appended a UUID
+    # subdir to what getCheckpointDir() reports
+    assert checkpoint(spark.range(3)).count() == 3
+
+    # a DIFFERENT dir on the same context must raise, not silently write to
+    # the old one (first-writer-wins would defeat the reliability request)
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "other"))
+    with pytest.raises(RuntimeError, match="one process uses one"):
+        checkpoint(spark.range(3))
+
+
+def test_base_dir_normalization():
+    from qurious_spark.checkpoint import _base_dir
+
+    assert _base_dir("file:/tmp/ck/0a1b2c3d-1111-2222-3333-444455556666") == "/tmp/ck"
+    assert _base_dir("/tmp/ck") == "/tmp/ck"
+    assert _base_dir("/tmp/ck/") == "/tmp/ck"
+    assert _base_dir("hdfs://nn:8020/ck") == "nn:8020/ck"
+    assert _base_dir("s3a://bucket/ck") == "bucket/ck"

@@ -529,6 +529,19 @@ def test_get_spark_rejects_stale_env_on_reuse(spark, monkeypatch):
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
     )
     assert get_spark() is spark
+    # semantically-equal byte spellings must NOT raise ('64m' == 67108864)
+    have = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    if have > 0 and have % (1 << 20) == 0:
+        monkeypatch.setenv("SPARK_GRAFT_BROADCAST_THRESHOLD", f"{have >> 20}m")
+        assert get_spark() is spark
     monkeypatch.setenv("SPARK_GRAFT_BROADCAST_THRESHOLD", "-1")
+    with pytest.raises(RuntimeError, match="fresh process"):
+        get_spark()
+    monkeypatch.delenv("SPARK_GRAFT_BROADCAST_THRESHOLD")
+    # the partitioning axis is guarded too (SCALE.md's perturbation gate)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        str(int(spark.conf.get("spark.sql.shuffle.partitions")) + 1),
+    )
     with pytest.raises(RuntimeError, match="fresh process"):
         get_spark()
