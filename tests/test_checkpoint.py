@@ -58,3 +58,46 @@ def test_base_dir_normalization():
     assert _base_dir("/tmp/ck/") == "/tmp/ck"
     assert _base_dir("hdfs://nn:8020/ck") == "nn:8020/ck"
     assert _base_dir("s3a://bucket/ck") == "bucket/ck"
+
+
+def test_connected_components_reliable_mode(tmp_path):
+    """End-to-end: the iterative CC operator (checkpoints every star round)
+    runs correctly in reliable mode. Subprocess because one process adopts
+    one checkpoint dir and the shared session may already own another."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    ckdir = str(tmp_path / "ck")
+    code = textwrap.dedent(
+        """
+        import json, os, sys
+        from qurious_spark.session import get_spark
+        from qurious_spark.operators.components import connected_components
+        spark = get_spark(master="local[4]")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 20)] + [(100, 101), (101, 102)],
+            ["id_a", "id_b"],
+        )
+        comps = {}
+        for r in connected_components(edges).collect():
+            comps.setdefault(r[1], []).append(r[0])
+        ckdir = os.environ["SPARK_GRAFT_CHECKPOINT_DIR"]
+        n_files = sum(len(fs) for _, _, fs in os.walk(ckdir))
+        print(json.dumps({
+            "sizes": sorted(len(v) for v in comps.values()),
+            "files": n_files,
+        }))
+        """
+    )
+    env = dict(os.environ, SPARK_GRAFT_CHECKPOINT_DIR=ckdir)
+    env.pop("SPARK_GRAFT_AQE", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=300, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["sizes"] == [3, 21]
+    assert result["files"] > 0, "no reliable checkpoint files written"
