@@ -102,6 +102,31 @@ def _rewarm_page_cache(sf_dir: str) -> dict[str, float]:
     }
 
 
+def _cpu_probe() -> dict[str, float]:
+    """Time two fixed single-thread workloads: a C-speed one (sha256 over
+    64 MB — memory-bandwidth sensitive) and a pure-Python loop (interpreter/
+    scheduler sensitive). Host-level CPU degradation that no guest counter
+    shows (observed: suite 33s with a healthy 2.6 GB/s warm-read) moves
+    these where the I/O probe stays flat."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.sha256()
+    for _ in range(64):
+        h.update(buf)
+    sha_sec = time.time() - t0
+    t0 = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    loop_sec = time.time() - t0
+    return {
+        "cpu_sha256_mb_s": round(64 / sha_sec, 1) if sha_sec > 0 else -1.0,
+        "cpu_pyloop_sec": round(loop_sec, 3),
+    }
+
+
 def main() -> None:
     # sample load BEFORE any Spark work: the warmup pass itself drives the
     # 1-min loadavg to ~4+, so a post-warmup sample can't distinguish "box
@@ -141,6 +166,7 @@ def main() -> None:
 
     # explicit page-cache rewarm + box-state probe (see module docstring)
     context = _rewarm_page_cache(sf_dir)
+    context.update(_cpu_probe())
     context["loadavg_start"] = loadavg_start
     context["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(f"# context: {json.dumps(context)}", file=sys.stderr)
