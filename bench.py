@@ -22,6 +22,17 @@ cache by reading every byte of $SPARK_GRAFT_SF_DIR/*.parquet — the "cat
 trick" that restored 19.24s in the r9 battery — and (b) records a `context`
 sidecar in the JSON line (1-min loadavg + a timed warm-read throughput
 probe) so an inflated reading is self-diagnosing instead of protocol-bound.
+
+Wait-for-idle (VERDICT r11 task 1): diagnosing was not enough — BENCH_r11
+recorded 31.2s with loadavg_start 7.55 on a tree whose healthy-window
+median is 19.78s. So after the rewarm, if the box looks unhealthy
+(loadavg_start >= BENCH_IDLE_LOAD_MAX [2.0], warm re-read below
+BENCH_IDLE_WARM_MB_S [2000 MB/s], or the sha256 CPU probe below
+BENCH_IDLE_SHA_MB_S [800 MB/s]), the harness sleeps in 60s steps for up to
+BENCH_IDLE_WAIT_SEC [600s] total, re-probing each step and proceeding at
+the first healthy probe (or after the budget, with the best probe found).
+The wait and the probe series are recorded in `context` so the artifact
+proves either "benched in a healthy window" or "the box never offered one".
 """
 
 from __future__ import annotations
@@ -127,6 +138,18 @@ def _cpu_probe() -> dict[str, float]:
     }
 
 
+def _healthy(load: float, context: dict[str, float]) -> bool:
+    """True when the box looks like the idle window BASELINE.md's protocol
+    requires: low ambient load AND both throughput probes in the healthy
+    band observed across rounds 3-11 (warm re-read ~2.3-2.6 GB/s, sha256
+    ~1.0-1.1 GB/s on this box)."""
+    return (
+        load < float(os.environ.get("BENCH_IDLE_LOAD_MAX", "2.0"))
+        and context["warm_read_mb_s"] >= float(os.environ.get("BENCH_IDLE_WARM_MB_S", "2000"))
+        and context["cpu_sha256_mb_s"] >= float(os.environ.get("BENCH_IDLE_SHA_MB_S", "800"))
+    )
+
+
 def main() -> None:
     # sample load BEFORE any Spark work: the warmup pass itself drives the
     # 1-min loadavg to ~4+, so a post-warmup sample can't distinguish "box
@@ -169,6 +192,45 @@ def main() -> None:
     context.update(_cpu_probe())
     context["loadavg_start"] = loadavg_start
     context["loadavg_1m"] = round(os.getloadavg()[0], 2)
+
+    # wait-for-idle (VERDICT r11 task 1; see module docstring). The FIRST
+    # health check gates on the pre-Spark load sample — our own warmup pass
+    # drives the 1-min loadavg to ~4+, so the post-warmup sample can't
+    # distinguish ambient load from the bench itself. Once >=60s of sleep
+    # has elapsed, fresh samples are meaningful again (our residue decays
+    # by ~e per idle minute) and the loop gates on those.
+    wait_budget = float(os.environ.get("BENCH_IDLE_WAIT_SEC", "600"))
+    step = 60.0
+    waited = 0.0
+    load_gate = loadavg_start
+    probes: list[dict[str, float]] = []
+    while waited + step <= wait_budget and not _healthy(load_gate, context):
+        print(
+            f"# box unhealthy (load {load_gate}, warm-read "
+            f"{context['warm_read_mb_s']} MB/s, sha256 "
+            f"{context['cpu_sha256_mb_s']} MB/s); sleeping {int(step)}s "
+            f"({int(waited)}s of {int(wait_budget)}s budget used)",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        waited += step
+        context = _rewarm_page_cache(sf_dir)
+        context.update(_cpu_probe())
+        load_gate = round(os.getloadavg()[0], 2)
+        context["loadavg_start"] = loadavg_start
+        context["loadavg_1m"] = load_gate
+        probes.append(
+            {
+                "at_sec": int(waited),
+                "loadavg": load_gate,
+                "warm_read_mb_s": context["warm_read_mb_s"],
+                "cpu_sha256_mb_s": context["cpu_sha256_mb_s"],
+            }
+        )
+    context["idle_wait_sec"] = int(waited)
+    context["idle_healthy"] = _healthy(load_gate, context)
+    if probes:
+        context["idle_wait_probes"] = probes
     print(f"# context: {json.dumps(context)}", file=sys.stderr)
 
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))

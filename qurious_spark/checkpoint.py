@@ -18,6 +18,7 @@ directory — no code edits, the same pattern as the AQE / broadcast-threshold
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
 
@@ -52,7 +53,11 @@ def _base_dir(path: str) -> str:
         p = p[len("file:"):]
     p = p.rstrip("/")
     leaf = p.rsplit("/", 1)[-1]
-    # a 36-char 8-4-4-4-12 hex leaf is Spark's generated UUID subdir
-    if len(leaf) == 36 and leaf.count("-") == 4:
+    # only a real 8-4-4-4-12 hex leaf is Spark's generated UUID subdir; a
+    # user-chosen leaf that merely has 4 dashes and 36 chars must NOT be
+    # stripped, or two different dirs could compare equal (ADVICE r11)
+    if re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", leaf
+    ):
         p = p.rsplit("/", 1)[0]
     return p

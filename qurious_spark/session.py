@@ -82,6 +82,13 @@ def _parse_bytes(text: str) -> int | None:
     to bytes; None if unparseable. Needed so semantically-equal spellings
     ('64m' vs '67108864') compare equal instead of raising spuriously."""
     v = text.strip().lower()
+    # Spark also accepts two/three-letter suffixes ('64mb', '64mib'); fold
+    # them onto the single-letter table so '64m' == '64mb' == '67108864'
+    # (ADVICE r11: '64mb' previously parsed to None and raised spuriously).
+    if len(v) > 2 and v.endswith("ib") and v[-3] in "kmgt":
+        v = v[:-2]
+    elif len(v) > 1 and v.endswith("b") and v[-2] in "kmgt":
+        v = v[:-1]
     mult = 1
     if v and v[-1] in _SIZE_SUFFIX:
         mult = _SIZE_SUFFIX[v[-1]]
@@ -272,8 +279,9 @@ class ManagedTable:
     def _bump(self) -> None:
         self._mutations += 1
         if self._mutations % CHECKPOINT_EVERY == 0:
-            # Truncate the union/filter plan chain; eager=False keeps it lazy
-            # until next action but breaks lineage for planning purposes.
+            # Truncate the union/filter plan chain; eager=True materializes
+            # the table now so later reads plan against a flat scan instead
+            # of the accumulated union/filter lineage.
             self.df = _checkpoint(self.df, eager=True)
         self.version += 1
         self.snapshots[self.version] = self.df

@@ -58,6 +58,17 @@ def test_base_dir_normalization():
     assert _base_dir("/tmp/ck/") == "/tmp/ck"
     assert _base_dir("hdfs://nn:8020/ck") == "nn:8020/ck"
     assert _base_dir("s3a://bucket/ck") == "bucket/ck"
+    # a user-chosen leaf that merely LOOKS UUID-shaped (36 chars, 4 dashes)
+    # but is not 8-4-4-4-12 hex must NOT be stripped — stripping it would
+    # make two genuinely different dirs compare equal (ADVICE r11)
+    not_uuid = "ckptdirs-aaaa-bbbb-cccc-dddddddddddd"
+    assert len(not_uuid) == 36 and not_uuid.count("-") == 4
+    assert _base_dir(f"/tmp/{not_uuid}") == f"/tmp/{not_uuid}"
+    # uppercase hex is not what Spark emits (java.util.UUID is lowercase)
+    assert (
+        _base_dir("/tmp/ck/0A1B2C3D-1111-2222-3333-444455556666")
+        == "/tmp/ck/0A1B2C3D-1111-2222-3333-444455556666"
+    )
 
 
 def test_connected_components_reliable_mode(tmp_path):

@@ -506,6 +506,29 @@ def test_env_bool_normalization(monkeypatch):
         _env_bool("SPARK_GRAFT_AQE", "true")
 
 
+def test_parse_bytes_spark_suffixes():
+    """_parse_bytes accepts every spelling Spark's byte-size confs accept:
+    bare ints, single-letter (64m), two-letter (64mb), and binary (64mib)
+    suffixes all compare equal (ADVICE r11: '64mb' parsed to None and made
+    _check_env_conf raise spuriously on a matching session)."""
+    from qurious_spark.session import _parse_bytes
+
+    assert _parse_bytes("67108864") == 64 << 20
+    assert _parse_bytes("64m") == 64 << 20
+    assert _parse_bytes("64mb") == 64 << 20
+    assert _parse_bytes("64mib") == 64 << 20
+    assert _parse_bytes("64MB") == 64 << 20
+    assert _parse_bytes("1kb") == 1 << 10
+    assert _parse_bytes("2g") == _parse_bytes("2gb") == _parse_bytes("2gib") == 2 << 30
+    assert _parse_bytes("1tb") == 1 << 40
+    assert _parse_bytes("-1") == -1
+    # a bare 'b' suffix is bytes, not a stripped prefix
+    assert _parse_bytes("10b") == 10
+    assert _parse_bytes("b") is None
+    assert _parse_bytes("64xb") is None
+    assert _parse_bytes("not-a-size") is None
+
+
 def test_get_spark_rejects_stale_env_on_reuse(spark, monkeypatch):
     """A perturbation env var set AFTER the session exists must raise, not
     silently return the old session — an independence-gate run that way
