@@ -132,82 +132,73 @@ def load_all() -> None:
 
 
 # The driver hash-checks a bounded prefix (~50 entries) of ``queries()``.
-# Round-4 rotation: 12 queries that were driver-green in CORRECTNESS_r03
-# (limit_offset, select_no_from, values_inline, cross_join, topn_orders,
-# join_inner, join_non_equi, comma_join_elimination, sort_multi_key,
-# filter_null_kleene, projection_arith, intersect_keys — their §2 rows keep
-# their r03 hard-signal rows cumulatively) rotated out in favor of
-# never-driver-checked entries, growing the set of queries that have EVER
-# had a green driver row. Seven more r03-green singletons
-# (dedup_ngram_jaccard, events_asof_join, text_lang_id,
-# embedding_cosine_pairs, pipeline_mix_corpora, agg_stats, distinct_pairs)
-# then rotated out for the round-4 prep operators — each family those seven
-# represent keeps either another in-window entry or its r03 green row.
-# Everything outside the prefix keeps registration order and stays covered
-# by the local oracle gate (tools/check_correctness.py) + pytest.
+# Since round 4 this prefix ROTATES each round: first it grew the set of
+# entries that have EVER had a green driver row (complete since r8 — every
+# registry entry has a hard-signal green; GAPS.md is the per-round ledger),
+# and since r10 it cycles the STALEST cohort back through so no entry's
+# newest driver green ages out. Everything outside the prefix keeps
+# registration order and stays covered every round by the local oracle gate
+# (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-11 FRESHNESS rotation (VERDICT r10 task 3, pre-verified through
+    # Round-12 FRESHNESS rotation (VERDICT r11 task 3, pre-verified through
     # the local gate): the two standing anchors (tpch_q1 flagship,
-    # dml_roundtrip for SURVEY §2.6), ALL 15 remaining r6 greens, ALL 31
-    # r7 greens, and — with no query code changed this round (round 11 is
-    # bench hygiene + independence gates only) — the two first-in-registry
-    # r8 greens (join_full_outer, agg_basic) to fill the 50 slots. After
-    # this window lands, no entry's latest driver green is older than r8.
-    # Rotated out (all r10-green, untouched): the entire r10 window except
-    # the anchors.
+    # dml_roundtrip for SURVEY §2.6), ALL 44 entries whose latest driver
+    # green is r8, and the 4 first-in-registry r9 greens to fill the 50
+    # slots. After this window lands, no entry's latest driver green is
+    # older than r9. Rotated out (all r11-green, untouched): the entire
+    # r11 window except the anchors.
     "tpch_q1",
     "dml_roundtrip",
-    # — 15 r6 greens (the stalest cohort) —
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q21",
-    "text_winnow_overlap",
-    "text_duplicate_spans",
-    "dedup_clusters",
-    "dedup_incremental",
-    "events_stream_interval_join",
-    "events_funnel",
-    "udaf_grouped_agg",
-    "dml_scd2_dimension",
-    "multimodal_media_stats",
-    "sketch_hll_rollup",
-    # — 31 r7 greens —
-    "window_row_number",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_ntile_percent",
-    "math_functions",
-    "conditional_functions",
-    "regexp_functions",
-    "array_functions",
-    "string_agg",
-    "hash_functions",
-    "source_uint_parquet",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q2_partsupp",
-    "tpch_q16_partsupp",
-    "text_winnow_fingerprints",
-    "events_stream_gapfill",
-    "catalog_information_schema",
-    "dml_update_from",
-    "dml_scd2_stream",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "sketch_quantiles",
-    # — 2 stalest r8 greens (fill) —
-    "join_full_outer",
-    "agg_basic",
+    # — 44 r8 greens (the stalest cohort), registry order —
+    "predicate_suite",
+    "scalar_suite",
+    "subquery_suite",
+    "source_csv_roundtrip",
+    "text_token_count",
+    "text_fingerprint",
+    "text_quality",
+    "text_stats_by_source",
+    "vocab_doc_freq",
+    "text_tfidf_top_terms",
+    "text_repetition",
+    "text_fuzzy_join",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_minhash_ml",
+    "dedup_stream_exact",
+    "vector_norms",
+    "ann_topk_bruteforce",
+    "embedding_centroids",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "embedding_semdedup",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_daily_stats",
+    "events_json_props",
+    "events_variant_props",
+    "events_stream_sliding",
+    "events_interval_overlap",
+    "events_stream_heavy_hitters",
+    "events_stream_rollup_merge",
+    "sketch_approx_distinct",
+    "sample_topk_per_source",
+    "sample_weighted_ares",
+    "pipeline_training_data",
+    "pipeline_pack_bins",
+    "pipeline_profile",
+    "pipeline_shard_counts",
+    "pipeline_quality_checks",
+    "pipeline_psi_drift",
+    # — 4 first-in-registry r9 greens (fill) —
+    "projection_arith",
+    "filter_compound",
+    "filter_null_kleene",
+    "sort_multi_key",
 )
 
 

@@ -112,6 +112,7 @@ _ENV_CONF_CHECKS: tuple[tuple[str, str, str], ...] = (
     ("spark.sql.autoBroadcastJoinThreshold", "SPARK_GRAFT_BROADCAST_THRESHOLD", "bytes"),
     ("spark.sql.shuffle.partitions", "SPARK_GRAFT_SHUFFLE_PARTITIONS", "raw"),
     ("spark.default.parallelism", "SPARK_GRAFT_CPUS", "raw"),
+    ("spark.sql.session.timeZone", "SPARK_GRAFT_SESSION_TZ", "raw"),
 )
 
 
@@ -190,7 +191,18 @@ def get_spark(app_name: str = "qurious_spark", master: str | None = None) -> Spa
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.sql.session.timeZone", "UTC")
+            # UTC session timezone by default (stable vs the DuckDB oracle).
+            # The TZ-independence gate (VERDICT r11 task 5) sets
+            # SPARK_GRAFT_SESSION_TZ to a non-UTC zone (e.g.
+            # America/New_York — what a real cluster inherits from its
+            # hosts) to prove results don't depend on the session zone:
+            # testdata timestamps are parquet timestamp[us] without
+            # isAdjustedToUTC, read as TIMESTAMP_NTZ, so wall-clock values
+            # and EXTRACT/date_trunc/window over them must be zone-invariant.
+            .config(
+                "spark.sql.session.timeZone",
+                os.environ.get("SPARK_GRAFT_SESSION_TZ", "UTC"),
+            )
             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
             .config("spark.ui.enabled", "false")
             # 64 MB default keeps every TPC-H-shaped dimension broadcast; a

@@ -506,6 +506,22 @@ def test_env_bool_normalization(monkeypatch):
         _env_bool("SPARK_GRAFT_AQE", "true")
 
 
+def test_session_tz_env_knob_guarded_on_reuse(spark, monkeypatch):
+    """SPARK_GRAFT_SESSION_TZ is a perturbation axis like AQE/ANSI: a value
+    matching the active session reuses it; a mismatch set after session
+    build raises instead of silently running in the wrong zone (the env can
+    only take effect in a fresh process)."""
+    from qurious_spark.session import get_spark
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_SESSION_TZ", spark.conf.get("spark.sql.session.timeZone")
+    )
+    assert get_spark() is spark
+    monkeypatch.setenv("SPARK_GRAFT_SESSION_TZ", "America/New_York")
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_SESSION_TZ"):
+        get_spark()
+
+
 def test_parse_bytes_spark_suffixes():
     """_parse_bytes accepts every spelling Spark's byte-size confs accept:
     bare ints, single-letter (64m), two-letter (64mb), and binary (64mib)

@@ -29,6 +29,13 @@ def duckdb_conn(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    # TZ-independence gate: pin the oracle to the same session zone as
+    # Spark (affects DuckDB's TIMESTAMPTZ display/arithmetic only; the
+    # testdata's naive timestamp[us] columns are zone-independent on both
+    # engines, which is exactly what the gate proves).
+    tz = os.environ.get("SPARK_GRAFT_SESSION_TZ")
+    if tz:
+        con.execute(f"SET TimeZone='{tz}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):
