@@ -29,6 +29,13 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
+        # LTZ by necessity: watermarks reject TIMESTAMP_NTZ
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The staged parquet's naive
+        # micros surface as UTC instants, so instant-space math
+        # (unix_timestamp, window()) is zone-independent — but wall-clock
+        # readings of this column inside Arrow UDFs are session-zone-shifted;
+        # stateful consumers must derive epochs JVM-side (see
+        # streaming/gapfill.py, caught by the r12 TZ-independence gate).
         StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -77,6 +78,16 @@ def locf_stream(
     if step <= 0:
         raise ValueError("step_seconds must be positive")
 
+    # Epoch derivation must be zone-independent (r12 TZ gate): an LTZ ts
+    # reaches the Arrow UDF as SESSION-zone wall time, so computing epochs
+    # from it in pandas shifts every bucket by the zone offset on a non-UTC
+    # cluster. For LTZ, take the instant's epoch JVM-side (unix_timestamp
+    # of an instant involves no zone); an NTZ ts transfers as naive wall
+    # time untouched by the session zone, so the pandas path is already
+    # zone-independent there (identical values under UTC either way).
+    if dict(events.dtypes).get(ts_col) == "timestamp":
+        events = events.withColumn("__epoch", F.unix_timestamp(ts_col))
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -87,7 +98,10 @@ def locf_stream(
         else:
             m, version, evicted_below = {}, 0, None
         for pdf in pdfs:
-            bk = _epoch_seconds(pdf[ts_col]) // step * step
+            secs = (
+                pdf["__epoch"] if "__epoch" in pdf.columns else _epoch_seconds(pdf[ts_col])
+            )
+            bk = secs // step * step
             # Presence and sums are tracked separately: ANY event (even a
             # NULL-valued one) extends the spine — the batch resample's
             # min/max is over all events — while the sum ignores NULLs, so
