@@ -56,7 +56,18 @@ def scd2_stream(
             .filter(F.col("__rn") == 1)
             .select(key_col, *attr_cols)
         )
-        batch_ts = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        # The effective/floor timestamps round-trip driver-side into
+        # scd2_merge's session-zone string parse (to_timestamp(lit(s))).
+        # Extract them as SESSION-zone wall strings JVM-side (date_format
+        # renders an LTZ instant in the session zone) so the re-parse
+        # restores the exact instant. Collecting the raw timestamp instead
+        # yields a naive datetime in the DRIVER's zone — re-parsing that
+        # wall in a non-UTC session shifts every close/open boundary by the
+        # zone offset (caught by the r12 TZ gate under Asia/Kathmandu,
+        # where +05:45 pushed close DATES across midnight). Fixed-width
+        # strings also keep the clamp's < comparison chronological.
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        batch_ts = batch_df.agg(F.date_format(F.max(ts_col), fmt)).collect()[0][0]
         # detach from the micro-batch's cloned session before mutating the
         # managed table (same rule as streaming/rollup.py)
         latest = _checkpoint(latest, eager=True)
@@ -74,13 +85,13 @@ def scd2_stream(
         floor_ts = (
             dim.filter(F.col("is_current"))
             .join(latest.select(key_col), on=key_col, how="left_semi")
-            .agg(F.max("valid_from"))
+            .agg(F.date_format(F.max("valid_from"), fmt))
             .collect()[0][0]
         )
         if floor_ts is not None and batch_ts < floor_ts:
             batch_ts = floor_ts
         merged = _checkpoint(
-            scd2_merge(dim, latest, key_col, attr_cols, str(batch_ts)),
+            scd2_merge(dim, latest, key_col, attr_cols, batch_ts),
             eager=True,
         )
         session.replace_table_data(table_name, merged)
