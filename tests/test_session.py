@@ -584,3 +584,38 @@ def test_get_spark_rejects_stale_env_on_reuse(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="fresh process"):
         get_spark()
+
+
+def test_codegen_env_knob_guarded_on_reuse(spark, monkeypatch):
+    """SPARK_GRAFT_CODEGEN is a perturbation axis like AQE/ANSI: a value
+    matching the active session reuses it; a mismatch set after session
+    build raises instead of silently benchmarking the wrong execution
+    path (the env can only take effect in a fresh process)."""
+    from qurious_spark.session import get_spark
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_CODEGEN", spark.conf.get("spark.sql.codegen.wholeStage")
+    )
+    assert get_spark() is spark
+    flipped = (
+        "false" if spark.conf.get("spark.sql.codegen.wholeStage") == "true" else "true"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CODEGEN", flipped)
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_CODEGEN"):
+        get_spark()
+
+
+def test_arrow_batch_env_knob_guarded_on_reuse(spark, monkeypatch):
+    """SPARK_GRAFT_ARROW_BATCH (Arrow maxRecordsPerBatch) is guarded the
+    same way: the batch-size-independence gate must run in a fresh process
+    or it would vacuously re-test the default batch size."""
+    from qurious_spark.session import get_spark
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_ARROW_BATCH",
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"),
+    )
+    assert get_spark() is spark
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_BATCH", "64")
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_ARROW_BATCH"):
+        get_spark()
