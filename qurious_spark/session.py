@@ -119,6 +119,7 @@ _ENV_CONF_CHECKS: tuple[tuple[str, str, str], ...] = (
         "SPARK_GRAFT_ARROW_BATCH",
         "raw",
     ),
+    ("spark.sql.files.maxPartitionBytes", "SPARK_GRAFT_MAX_PARTITION_BYTES", "bytes"),
 )
 
 

@@ -619,3 +619,21 @@ def test_arrow_batch_env_knob_guarded_on_reuse(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARROW_BATCH", "64")
     with pytest.raises(RuntimeError, match="SPARK_GRAFT_ARROW_BATCH"):
         get_spark()
+
+
+def test_max_partition_bytes_env_knob_guarded_on_reuse(spark, monkeypatch):
+    """SPARK_GRAFT_MAX_PARTITION_BYTES (scan-split sizing) joins the
+    guarded perturbation axes: the scan-split-independence gate must run
+    in a fresh process; semantically-equal byte spellings reuse fine."""
+    from qurious_spark.session import get_spark, _parse_bytes
+
+    have = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", have)
+    assert get_spark() is spark
+    hb = _parse_bytes(have)
+    if hb is not None and hb % (1 << 20) == 0:
+        monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", f"{hb >> 20}m")
+        assert get_spark() is spark
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "256k")
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        get_spark()
