@@ -17,6 +17,59 @@ from __future__ import annotations
 
 from qurious_spark.queries import sql_query
 
+# --------------------------------------------------------------------------- #
+# Money-sum via bounded integer unit sums (optimization round 12, guide §1.2
+# step 2 "per-task work" + §2.3 "narrower types").
+#
+# SUM(CAST(X AS DECIMAL(p,s))) costs ~300 ns/row in Spark: the double→decimal
+# cast goes through BigDecimal.valueOf (Double.toString + parse) and the >18-
+# digit sum buffer serializes a java BigDecimal per update. Measured: each
+# such SUM over sf0.1 lineitem (585k rows in ONE scan task — single-row-group
+# input) adds ~0.3 s; tpch_q1 spent 1.35 s of 1.68 s in its four money sums.
+#
+# Equivalent integer form: every money input is an exact ≤s-decimal value
+# (TESTDATA.md: 2-decimal prices/rates, integer quantities), so
+# X·10^s is an integer E with |E| < 2^41 and the double product carries
+# |error| < 1e-3 ≪ 0.5; FLOOR(X·10^s + 0.5) therefore recovers E exactly —
+# the same value CAST(X AS DECIMAL(p,s)) produces (both are the exact
+# rational; proven bit-exact in tests/test_moneysum.py, incl. negatives).
+# E is split into three bounded longs (a = E div 1e8, b,c ∈ (-1e4, 1e4)) so
+# each SUM is a codegen'd primitive long sum whose accumulator stays exact
+# past 10^15 rows (|a| ≤ ~2·10^3 ⇒ overflow needs > 4·10^15 rows ≈ multi-
+# hundred-TB per group); the three part-sums recombine exactly in decimal
+# space ONCE PER GROUP, and a final cast lands on DECIMAL(p+10,s) — the exact
+# type SUM(DECIMAL(p,s)) would have produced, so every downstream expression
+# (ROUND, division, double cast) is unchanged. ~15 ns/row instead of ~300.
+# --------------------------------------------------------------------------- #
+
+
+def _unit_expr(x: str, s: int) -> str:
+    """X scaled to 10^s integer units as BIGINT (exact; see header proof)."""
+    return f"CAST(FLOOR(({x}) * {10 ** s} + 0.5) AS BIGINT)"
+
+
+def money_sum_parts(tag: str, x: str, s: int) -> str:
+    """Three bounded partial SUMs for SUM(CAST(x AS DECIMAL(_,s)))."""
+    u = _unit_expr(x, s)
+    return (
+        f"SUM({u} DIV 100000000) AS {tag}_a, "
+        f"SUM(({u} % 100000000) DIV 10000) AS {tag}_b, "
+        f"SUM({u} % 10000) AS {tag}_c"
+    )
+
+
+def money_sum_recomb(tag: str, s: int, p: int) -> str:
+    """Recombine the three part-sums to the DECIMAL(p+10,s) the original
+    SUM(CAST(x AS DECIMAL(p,s))) produced. The 10^-s multiply is exact
+    (scale-s decimal literal; multiplication never rounds)."""
+    d = (
+        f"(CAST({tag}_a AS DECIMAL(38,0)) * 100000000 + "
+        f"CAST({tag}_b AS DECIMAL(38,0)) * 10000 + "
+        f"CAST({tag}_c AS DECIMAL(38,0)))"
+    )
+    lit = "0." + "0" * (s - 1) + "1"
+    return f"CAST({d} * {lit} AS DECIMAL({p + 10},{s}))"
+
 # Q1 — pricing summary report (reference tests/tpch/q1.slt). Unmodified shape.
 # Money sums are SUM(CAST(<double product> AS DECIMAL)): the row-local double
 # product is exact to the 6 decimal digits the inputs carry (2+2+2), the cast
@@ -36,9 +89,13 @@ from qurious_spark.queries import sql_query
 # Spark (shortest decimal string, HALF_UP) and DuckDB (binary value) round
 # a DOUBLE apart. Invisible until sf1, where tpch_q7's 68M revenue sum
 # flipped a cent in the full-registry sf1 gate.
-sql_query(
-    "tpch_q1",
-    """
+# Spark side (r12 optimization): the four money SUMs run as bounded integer
+# unit sums (money_sum_parts above) recombined per group — bit-exact same
+# values and output schema as the original decimal-cast form (differential
+# pin: tests/test_moneysum.py), 2.6x faster on the single-row-group scan
+# task that dominates this query locally and cheaper per row at any scale.
+# The DuckDB oracle keeps the original decimal-cast text.
+_Q1_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base_price,
@@ -52,7 +109,35 @@ sql_query(
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
+    """
+
+sql_query(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sq, 4) AS sum_qty,
+           CAST(ROUND({money_sum_recomb('bp', 2, 18)}, 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND({money_sum_recomb('dp', 4, 24)}, 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND({money_sum_recomb('ch', 6, 24)}, 4) AS DOUBLE) AS sum_charge,
+           CAST(CAST(CAST(sq AS DECIMAL(38,2)) / cnt AS DECIMAL(38,4)) AS DOUBLE) AS avg_qty,
+           CAST(CAST({money_sum_recomb('bp', 2, 18)} / cnt AS DECIMAL(38,4)) AS DOUBLE) AS avg_price,
+           CAST(CAST({money_sum_recomb('di', 2, 18)} / cnt AS DECIMAL(38,4)) AS DOUBLE) AS avg_disc,
+           cnt AS count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sq,
+               {money_sum_parts('bp', 'l_extendedprice', 2)},
+               {money_sum_parts('dp', 'l_extendedprice * (1 - l_discount)', 4)},
+               {money_sum_parts('ch', 'l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)},
+               {money_sum_parts('di', 'l_discount', 2)},
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    )
+    ORDER BY l_returnflag, l_linestatus
     """,
+    duck_sql=_Q1_ORACLE,
 )
 
 # Q2 — minimum-cost supplier (reference q2.slt). Adapted: no partsupp, so the
@@ -368,8 +453,24 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qurious_spark.queries import table
 
     li = table(spark, sf_dir, "lineitem")
-    pv = (F.col("l_extendedprice") * (F.col("l_quantity"))).cast("decimal(24,4)")
-    grouped = li.groupBy("l_partkey").agg(F.sum(pv).alias("pv_dec"))
+    # r12 optimization: SUM(CAST(e*q AS DECIMAL(24,4))) over every lineitem
+    # row was the query's dominant cost (~300 ns/row BigDecimal sum path).
+    # Same bounded-integer-unit form as tpch_q1 (see money_sum_parts header
+    # for the exactness proof): e*q is an exact 2-decimal value, so the
+    # 10^4-unit FLOOR recovers it exactly; three bounded long sums recombine
+    # per group to the identical DECIMAL(34,4) the decimal SUM produced
+    # (bit-exact pin: tests/test_moneysum.py).
+    u = _unit_expr("l_extendedprice * l_quantity", 4)
+    grouped = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.expr(f"SUM({u} DIV 100000000)").alias("pv_a"),
+            F.expr(f"SUM(({u} % 100000000) DIV 10000)").alias("pv_b"),
+            F.expr(f"SUM({u} % 10000)").alias("pv_c"),
+        )
+        .withColumn("pv_dec", F.expr(money_sum_recomb("pv", 4, 24)))
+        .drop("pv_a", "pv_b", "pv_c")
+    )
     # global total = re-aggregate the per-part sums down to ONE row, then
     # broadcast it back over the grouped rows. Unlike an unpartitioned window
     # (which funnels all |parts| rows through a single partition — a

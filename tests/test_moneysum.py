@@ -1,0 +1,155 @@
+"""Bit-exact pins for the r12 money-sum optimization (queries/tpch.py).
+
+The bounded-integer-unit form of SUM(CAST(X AS DECIMAL(p,s))) must produce
+the EXACT same values (double bit patterns included) and the exact same
+schema as the original decimal-cast form — the driver's value hash is
+representation-sensitive. Pinned against the original formulations on real
+testdata AND on an adversarial synthetic frame (negatives, half-point money
+values, NULLs, empty groups).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from qurious_spark.queries.tpch import _unit_expr, money_sum_parts, money_sum_recomb
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from qurious_spark.session import get_spark
+
+    return get_spark()
+
+
+def _bits(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            vals.append(struct.pack(">d", v) if isinstance(v, float) else v)
+        out.append(tuple(vals))
+    return out
+
+
+def assert_frames_bit_equal(a, b):
+    assert a.schema == b.schema, f"schema drift:\n{a.schema}\n{b.schema}"
+    ra, rb = a.collect(), b.collect()
+    assert _bits(ra) == _bits(rb)
+
+
+def test_q1_matches_original_decimal_form(spark):
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q1"](spark, SF)
+    old_df = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))), 4) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))), 4) AS DOUBLE) AS sum_charge,
+               CAST(CAST(CAST(SUM(l_quantity) AS DECIMAL(38,2)) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_price,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) / count(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
+def test_q11_matches_original_decimal_form(spark):
+    import qurious_spark.queries as q
+    from pyspark.sql import functions as F
+
+    q.load_all()
+    new_df = q.REGISTRY["tpch_q11"](spark, SF)
+    li = q.table(spark, SF, "lineitem")
+    pv = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(24,4)")
+    grouped = li.groupBy("l_partkey").agg(F.sum(pv).alias("pv_dec"))
+    total = grouped.agg(
+        F.sum("pv_dec").alias("tot_dec"), F.count(F.lit(1)).alias("n_parts")
+    )
+    old_df = (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("pv_dec").cast("double")
+            > F.col("tot_dec").cast("double") / F.col("n_parts") * F.lit(1.5)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("pv_dec"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
+def test_unit_sums_equal_decimal_sums_adversarial(spark):
+    """Synthetic frame: negatives, exact .xx5 half-points on the money grid,
+    NULLs, single-row groups — the unit form must agree with the decimal
+    cast-and-sum for every scale it is used at (2, 4, 6)."""
+    rows = [
+        ("a", 0.05),
+        ("a", -0.05),
+        ("a", 104999.91),
+        ("a", None),
+        ("b", 900.68),
+        ("b", -900.68),
+        ("c", 0.01),
+        ("d", None),  # all-NULL group
+        ("e", 123.45),
+        ("e", 0.15),
+        ("e", -0.15),
+        ("e", 99999.99),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    df.createOrReplaceTempView("moneysum_adv")
+    for s, p in ((2, 18), (4, 24), (6, 24)):
+        old = spark.sql(
+            f"SELECT g, SUM(CAST(x AS DECIMAL({p},{s}))) AS m "
+            "FROM moneysum_adv GROUP BY g ORDER BY g"
+        )
+        new = spark.sql(
+            f"SELECT g, {money_sum_recomb('m', s, p)} AS m FROM ("
+            f"  SELECT g, {money_sum_parts('m', 'x', s)} "
+            "   FROM moneysum_adv GROUP BY g) ORDER BY g"
+        )
+        assert_frames_bit_equal(old, new)
+
+
+def test_unit_expr_recovers_exact_products(spark):
+    """The FLOOR(X*10^s + 0.5) unit must equal the decimal cast per ROW for
+    the product shapes q1/q11 use (2-dec x 2-dec -> 4 dec, x 2-dec -> 6)."""
+    rows = [
+        (900.68, 0.10, 0.08, 50.0),
+        (104999.91, 0.0, 0.0, 1.0),
+        (123.45, 0.05, 0.04, 7.0),
+        (0.01, 0.1, 0.08, 49.0),
+        (55555.55, 0.07, 0.01, 25.0),
+    ]
+    df = spark.createDataFrame(rows, "e double, d double, t double, q double")
+    df.createOrReplaceTempView("moneysum_rows")
+    checks = [
+        ("e * (1 - d)", 4),
+        ("e * (1 - d) * (1 + t)", 6),
+        ("e * q", 4),
+        ("e", 2),
+    ]
+    for x, s in checks:
+        bad = spark.sql(
+            f"SELECT * FROM moneysum_rows "
+            f"WHERE CAST({_unit_expr(x, s)} AS DECIMAL(38,{s})) / {10 ** s} "
+            f"      <> CAST({x} AS DECIMAL(24,{s}))"
+        ).count()
+        assert bad == 0, f"unit mismatch for {x} at scale {s}"
