@@ -714,29 +714,20 @@ sql_query(
 # Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS on the same
 # fact table ("late" = shipped >90 days after order date, replacing the
 # absent receipt/commit dates).
-sql_query(
-    "tpch_q21",
-    """
-    SELECT s.s_name, count(*) AS numwait
-    FROM supplier s, lineitem l1, orders o
-    WHERE s.s_suppkey = l1.l_suppkey
-      AND o.o_orderkey = l1.l_orderkey
-      AND o.o_orderstatus = 'F'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
-      AND EXISTS (
-          SELECT 1 FROM lineitem l2
-          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-      )
-      AND NOT EXISTS (
-          SELECT 1 FROM lineitem l3
-          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-            AND l3.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
-      )
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
-    LIMIT 100
-    """,
-    duck_sql="""
+#
+# r12 optimization (guide §1.2 step 1, remove passes/shuffles): the SQL form
+# scans lineitem THREE times (l1 + the EXISTS l2 + the NOT EXISTS l3) and
+# joins the fact table against itself twice — at cluster scale that is two
+# extra full passes and two extra fact-table joins. The Spark side now scans
+# lineitem ONCE: per (orderkey, suppkey) it derives whether that supplier
+# shipped late, per orderkey it counts distinct suppliers and late
+# suppliers, and the EXISTS/NOT EXISTS pair collapses to
+# n_supp >= 2 AND n_late_supp == 1 (l1's own supplier is always in both
+# sets, so "another supplier exists" = n_supp >= 2 and "no OTHER supplier
+# was late" = exactly one late supplier). Row-for-row identical output
+# (differential pin: tests/test_moneysum.py::test_q21_matches_original;
+# oracle keeps the original three-scan text).
+_Q21_ORACLE = """
     SELECT s.s_name, count(*) AS numwait
     FROM supplier s, lineitem l1, orders o
     WHERE s.s_suppkey = l1.l_suppkey
@@ -755,8 +746,48 @@ sql_query(
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name
     LIMIT 100
-    """,
-)
+    """
+
+
+@df_query("tpch_q21", _Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    o = (
+        spark.table("orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL '90' DAY")
+        ).alias("late"),
+    )
+    # MAX over booleans: true if ANY of the supplier's rows in the order is
+    # late; NULL-late rows (never in testdata) fold away exactly like the
+    # original predicates (MAX ignores NULL, the final filter drops NULL).
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late_supp"),
+    )
+    waiting_rows = (
+        j.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        waiting_rows.join(s, waiting_rows.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit("*")).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
 
 # Q22 — global sales opportunity: substring-derived code + uncorrelated AVG
 # subquery + NOT EXISTS anti join. (c_phone country code → custkey mod 10;

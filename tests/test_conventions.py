@@ -108,7 +108,7 @@ def test_rdd_access_is_metadata_only_in_spread():
                 code = line.split("#", 1)[0]
                 if re.search(r"\.rdd\b", code) and '``' not in line:
                     hits.append((rel, lineno, line.strip()))
-    allowed = {("operators/dedup.py", "if df.rdd.getNumPartitions() < target:")}
+    allowed = {("operators/dedup.py", "nparts = df.rdd.getNumPartitions()")}
     unexpected = [
         h for h in hits if (h[0], h[2]) not in allowed
     ]

@@ -95,6 +95,39 @@ def test_q11_matches_original_decimal_form(spark):
     assert_frames_bit_equal(old_df, new_df)
 
 
+def test_q21_matches_original(spark):
+    """The single-scan q21 rewrite must reproduce the three-scan
+    EXISTS/NOT-EXISTS SQL row-for-row (schema included)."""
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q21"](spark, SF)
+    old_df = spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s, lineitem l1, orders o
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+        """
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
 def test_unit_sums_equal_decimal_sums_adversarial(spark):
     """Synthetic frame: negatives, exact .xx5 half-points on the money grid,
     NULLs, single-row groups — the unit form must agree with the decimal
