@@ -15,7 +15,10 @@ tiebreaker so top-n is deterministic.
 
 from __future__ import annotations
 
-from qurious_spark.queries import sql_query
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qurious_spark.queries import df_query, ensure_views, sql_query
 
 # --------------------------------------------------------------------------- #
 # Money-sum via bounded integer unit sums (optimization round 12, guide §1.2
@@ -149,9 +152,14 @@ sql_query(
 # so quotients landing near a half-point in the 5th decimal diverge by 1
 # ulp of the 4th decimal (4/914 rows at sf0.1). Scaling first makes the
 # half-point exactly representable, where both engines round identically.
-sql_query(
-    "tpch_q2",
-    """
+# r12 optimization: same decorrelation-restriction as tpch_q17 — Catalyst
+# turns the correlated MIN into a full-lineitem per-partkey aggregate, but
+# only PROMO/size<15 partkeys (a part-KEY-determined predicate) can join, so
+# the Spark side broadcast-semi-joins lineitem to those partkeys before both
+# the MIN aggregate and the outer rows. Per-partkey row sets are unchanged →
+# identical MINs, row-identical output (pin:
+# tests/test_moneysum.py::test_q2_matches_original).
+_Q2_ORACLE = """
     SELECT p.p_partkey, p.p_name, s.s_name,
            ROUND(l.l_extendedprice / l.l_quantity * 10000) / 10000 AS unit_cost
     FROM part p, lineitem l, supplier s
@@ -161,8 +169,43 @@ sql_query(
           SELECT MIN(l2.l_extendedprice / l2.l_quantity)
           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
       )
-    """,
-)
+    """
+
+
+@df_query("tpch_q2", _Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    p = (
+        spark.table("part")
+        .where((F.col("p_type") == "PROMO") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_name")
+    )
+    li = spark.table("lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    min_pp = li_f.groupBy("l_partkey").agg(
+        F.expr("MIN(l_extendedprice / l_quantity) AS __min_uc")
+    )
+    s = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        li_f.join(min_pp, "l_partkey")
+        .filter(F.expr("l_extendedprice / l_quantity = __min_uc"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.expr(
+                "ROUND(l_extendedprice / l_quantity * 10000) / 10000 AS unit_cost"
+            ),
+        )
+    )
 
 # Q3 — shipping priority (reference q3.slt). Adapted: o_shippriority column
 # absent, dropped from the select list; top-10 with unique tiebreaker.
@@ -360,10 +403,6 @@ _Q10_ORACLE = """
 # total by RE-AGGREGATING the grouped decimal sums (decimal addition is
 # associative, so SUM(per-part sums) == the subquery's direct SUM exactly) —
 # one lineitem scan instead of the oracle's two.
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
-
-from qurious_spark.queries import df_query, ensure_views  # noqa: E402
 
 
 @df_query("tpch_q10", _Q10_ORACLE)
@@ -645,9 +684,19 @@ sql_query(
 )
 
 # Q17 — small-quantity-order revenue: correlated scalar AVG subquery.
-sql_query(
-    "tpch_q17",
-    """
+#
+# r12 optimization (guide §3.2 shape — reduce the big side first): Catalyst
+# decorrelates the AVG subquery into a FULL-lineitem aggregate
+# (plans/r12/tpch_q17_before.txt scan (9): every partkey aggregated, no
+# brand filter pushed in) even though only Brand#13 partkeys (~2% of parts)
+# can ever join. p_partkey is part's key, so restricting the aggregate to
+# Brand#13 partkeys keeps every row of every qualifying partkey — each
+# per-partkey AVG is unchanged exactly. The Spark side broadcast-semi-joins
+# lineitem to the filtered part keys BEFORE both the aggregate and the main
+# join; at scale that drops ~98% of aggregated/shuffled rows. Row-identical
+# output (pin: tests/test_moneysum.py::test_q17_matches_original; the
+# oracle keeps the correlated-subquery text).
+_Q17_ORACLE = """
     SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
     FROM lineitem l, part p
     WHERE p.p_partkey = l.l_partkey
@@ -656,13 +705,51 @@ sql_query(
           SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
           WHERE l2.l_partkey = p.p_partkey
       )
-    """,
-)
+    """
+
+
+@df_query("tpch_q17", _Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    pk = (
+        spark.table("part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = spark.table("lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # one broadcast semi-join restricts BOTH consumers to Brand#13 partkeys
+    li_b13 = li.join(
+        F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi"
+    )
+    avg_pp = li_b13.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        li_b13.join(avg_pp, "l_partkey")
+        .filter(F.expr("l_quantity < 0.2 * __avg_qty"))
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly"
+            )
+        )
+    )
 
 # Q18 — large-volume customers: IN over a HAVING subquery + top-n.
-sql_query(
-    "tpch_q18",
-    """
+#
+# r12 optimization (guide §1.2 step 1 — don't compute things twice): the SQL
+# form scans lineitem twice and aggregates it twice — once inside the IN
+# subquery (per-orderkey SUM > 250) and once in the outer GROUP BY, which
+# sums the SAME rows again (o_orderkey is unique in orders, so each outer
+# group IS one orderkey and its SUM equals the subquery's). The Spark side
+# aggregates lineitem by orderkey ONCE, filters > 250, and joins the
+# surviving handful of orders to orders/customer. l_quantity is an
+# integer-valued double, so the sum is exact and order-independent — the
+# re-used aggregate is bit-identical to the outer SUM it replaces (pin:
+# tests/test_moneysum.py::test_q18_matches_original; oracle keeps the
+# two-scan text).
+_Q18_ORACLE = """
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            ROUND(o.o_totalprice, 2) AS o_totalprice,
            ROUND(SUM(l.l_quantity), 2) AS total_qty
@@ -675,8 +762,36 @@ sql_query(
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
     LIMIT 100
-    """,
-)
+    """
+
+
+@df_query("tpch_q18", _Q18_ORACLE)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    per_order = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__tq"))
+        .filter(F.col("__tq") > 250)
+    )
+    o = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = spark.table("customer").select("c_custkey", "c_name")
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("__tq"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
 
 # Q19 — discounted revenue: disjunction of brand/size/quantity conjunctions
 # (the OR-of-ANDs predicate Catalyst must not turn into a cartesian).

@@ -128,6 +128,86 @@ def test_q21_matches_original(spark):
     assert_frames_bit_equal(old_df, new_df)
 
 
+def test_q17_matches_original(spark):
+    """The brand-restricted q17 aggregate must reproduce the correlated-
+    subquery SQL bit-for-bit (the per-partkey AVG set is unchanged because
+    p_partkey is part's key)."""
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q17"](spark, SF)
+    old_df = spark.sql(
+        """
+        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+        FROM lineitem l, part p
+        WHERE p.p_partkey = l.l_partkey
+          AND p.p_brand = 'Brand#13'
+          AND l.l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
+def test_q18_matches_original(spark):
+    """The single-aggregate q18 must reproduce the IN-over-HAVING SQL
+    row-for-row (the outer SUM over each orderkey group equals the
+    subquery's per-orderkey SUM exactly — integer-valued doubles)."""
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q18"](spark, SF)
+    old_df = spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM customer c, orders o, lineitem l
+        WHERE o.o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+              )
+          AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 100
+        """
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
+def test_q2_matches_original(spark):
+    """The partkey-restricted q2 MIN aggregate must reproduce the
+    correlated-subquery SQL row-for-row (order-insensitive — the query has
+    no ORDER BY)."""
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q2"](spark, SF)
+    old_df = spark.sql(
+        """
+        SELECT p.p_partkey, p.p_name, s.s_name,
+               ROUND(l.l_extendedprice / l.l_quantity * 10000) / 10000 AS unit_cost
+        FROM part p, lineitem l, supplier s
+        WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+          AND p.p_type = 'PROMO' AND p.p_size < 15
+          AND l.l_extendedprice / l.l_quantity = (
+              SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+    assert old_df.schema == new_df.schema, (old_df.schema, new_df.schema)
+    assert sorted(_bits(old_df.collect())) == sorted(
+        _bits(new_df.collect()), key=None
+    )
+
+
 def test_unit_sums_equal_decimal_sums_adversarial(spark):
     """Synthetic frame: negatives, exact .xx5 half-points on the money grid,
     NULLs, single-row groups — the unit form must agree with the decimal
