@@ -161,9 +161,14 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # local test files are ~11 MB; split smaller so the scan uses the cores
-    # (cluster deployments keep Spark's 128m default — see session.get_spark)
-    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m")
+    # Scan split size stays at Spark's 128m default (session.get_spark).
+    # Benchmarks used to force 2m here "so the scan uses the cores", but
+    # every testdata table is ONE parquet file with ONE row group — the row
+    # group is the minimum split unit, so smaller splits never widened the
+    # scan; they only fabricated empty tasks (~5 per scan stage). Removing
+    # the override measured 0.3-0.7 s/pass faster (OPTIMIZATION_r12.md) and
+    # matches the cluster-right default. SPARK_GRAFT_MAX_PARTITION_BYTES
+    # remains honored for perturbation gates and cluster tuning.
 
     from qurious_spark.session import get_spark
     import qurious_spark.queries as q

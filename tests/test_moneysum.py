@@ -180,6 +180,70 @@ def test_q18_matches_original(spark):
     assert_frames_bit_equal(old_df, new_df)
 
 
+def test_q15_matches_original(spark):
+    """The single-scan q15 must reproduce the twice-inlined CTE SQL
+    bit-for-bit (decimal sums are exact, so MAX over the reused aggregate
+    equals MAX over the recomputed copy)."""
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q15"](spark, SF)
+    old_df = spark.sql(
+        """
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM supplier s, revenue0 r
+        WHERE s.s_suppkey = r.supplier_no
+          AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+        ORDER BY s.s_suppkey
+        """
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
+def test_q15_matches_original_materialized(spark, monkeypatch):
+    """Same pin with SPARK_GRAFT_MATERIALIZE_BYTES=0: the checkpoint_if_large
+    path (taken at cluster-scale input sizes) must produce the identical
+    frame — materialization must never change values or schema."""
+    import qurious_spark.queries as q
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_BYTES", "0")
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q15"](spark, SF)
+    # the checkpointed frame must really be lineage-truncated (the whole
+    # point at scale: the fact table is not re-scanned for the MAX branch)
+    assert "LogicalRDD" in new_df._jdf.queryExecution().optimizedPlan().toString()
+    old_df = spark.sql(
+        """
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM supplier s, revenue0 r
+        WHERE s.s_suppkey = r.supplier_no
+          AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+        ORDER BY s.s_suppkey
+        """
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
 def test_q2_matches_original(spark):
     """The partkey-restricted q2 MIN aggregate must reproduce the
     correlated-subquery SQL row-for-row (order-insensitive — the query has

@@ -23,7 +23,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
-    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m")
+    # scan split: Spark 128m default (single-row-group files; see bench.py)
     import qurious_spark.queries as q
     from qurious_spark.session import get_spark
 

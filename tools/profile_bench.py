@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
-    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m")
+    # scan split: Spark 128m default (single-row-group files; see bench.py)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from bench import HEADLINE
