@@ -188,6 +188,12 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
+    # li_f feeds BOTH the MIN aggregate and the outer join; materialize the
+    # narrow semi-filtered frame once when the lineitem input is cluster-
+    # sized (local no-op below the gate; pin covers the materialized path)
+    from qurious_spark.checkpoint import checkpoint_if_large
+
+    li_f = checkpoint_if_large(li_f, size_of=li)
     min_pp = li_f.groupBy("l_partkey").agg(
         F.expr("MIN(l_extendedprice / l_quantity) AS __min_uc")
     )
@@ -781,6 +787,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_b13 = li.join(
         F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi"
     )
+    # li_b13 feeds both the AVG aggregate and the main join; materialize the
+    # semi-filtered frame once at cluster input sizes (local no-op)
+    from qurious_spark.checkpoint import checkpoint_if_large
+
+    li_b13 = checkpoint_if_large(li_b13, size_of=li)
     avg_pp = li_b13.groupBy("l_partkey").agg(
         F.avg("l_quantity").alias("__avg_qty")
     )
@@ -938,6 +949,13 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL '90' DAY")
         ).alias("late"),
     )
+    # j (a ~17-byte/row derivation of the fact join) feeds both the
+    # per-supplier aggregate and the late-row filter; materializing it once
+    # at cluster input sizes replaces a second full lineitem scan + join
+    # with a re-read of the narrow frame (local no-op below the gate)
+    from qurious_spark.checkpoint import checkpoint_if_large
+
+    j = checkpoint_if_large(j, size_of=li)
     # MAX over booleans: true if ANY of the supplier's rows in the order is
     # late; NULL-late rows (never in testdata) fold away exactly like the
     # original predicates (MAX ignores NULL, the final filter drops NULL).

@@ -272,6 +272,16 @@ def test_q2_matches_original(spark):
     )
 
 
+def test_materialized_paths_match(spark, monkeypatch):
+    """SPARK_GRAFT_MATERIALIZE_BYTES=0 forces every checkpoint_if_large site
+    (q2 li_f, q17 li_b13, q21 j — the path taken at cluster input sizes);
+    each query must still reproduce its original SQL bit-for-bit."""
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_BYTES", "0")
+    test_q2_matches_original(spark)
+    test_q17_matches_original(spark)
+    test_q21_matches_original(spark)
+
+
 def test_unit_sums_equal_decimal_sums_adversarial(spark):
     """Synthetic frame: negatives, exact .xx5 half-points on the money grid,
     NULLs, single-row groups — the unit form must agree with the decimal
