@@ -74,6 +74,10 @@ ALLOW_NON_EQUI = {
     # per-side bucket fractions divide by a 1-row broadcast total
     # (crossJoin(broadcast(count)) — the tpch_q11 broadcast-scalar shape)
     "pipeline_psi_drift",
+    # r12: the corpus-size factor of the smoothed idf joins in as a 1-row
+    # broadcast (crossJoin(broadcast(count)) — the tpch_q11 broadcast-scalar
+    # shape), replacing a driver-blocking docs.count() at plan-build time.
+    "text_tfidf_top_terms",
 }
 
 # Queries allowed to plan an UNPARTITIONED Window (child distribution =

@@ -11,11 +11,36 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qurious_spark.functions import text as T
+from qurious_spark.operators.dedup import spread
 from qurious_spark.queries import df_query, table
 
 # Shared DuckDB snippets replicating functions/text.py definitions.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan, widened to the session's parallelism.
+
+    r12 optimization (guide §2.6 idle capacity): the local single-file
+    parquet scans as 1-2 partitions, which serializes regex/gram-heavy
+    per-document map stages onto one or two cores — measured 10.4s on
+    text_duplicate_spans and 4.9s on text_winnow_overlap at sf0.1 (2.3s
+    each after; 94.7s -> 11.2s and 24.0s -> 4.1s at the 10x sf1 shape).
+    ``spread`` (operators/dedup.py, the same adapter every dedup operator
+    uses) repartitions size-aware (64 KiB/partition floor, capped at
+    defaultParallelism) and is a no-op on a cluster scan that already
+    arrives wide; results are row-wise / key-aggregated and
+    partitioning-independent (pinned by the partitioning-perturbation
+    gate).
+
+    Applied ONLY where the pre-shuffle per-row work is heavy (quality,
+    lang_id, repetition, chunking, PII redaction, winnowing, duplicate
+    spans). The light-map or explode-into-shuffle entries (token_count,
+    fingerprint, stats_by_source, vocab_doc_freq, tfidf) measured 0.02-0.1s
+    SLOWER with the extra exchange + wider shuffle-map fan-out and keep the
+    narrow scan."""
+    return spread(table(spark, sf_dir, "documents"))
 
 
 @df_query(
@@ -72,7 +97,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
@@ -104,7 +129,7 @@ def _duck_lang_id() -> str:
 
 @df_query("text_lang_id", _duck_lang_id())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return (
         docs.select(
             F.col("lang").alias("actual_lang"),
@@ -195,19 +220,33 @@ def vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1));
     deterministic tiebreak on token). The df table is tiny after
-    aggregation -> broadcast back; the tf shuffle is (doc, token) ids."""
+    aggregation -> broadcast back; the tf shuffle is (doc, token) ids.
+
+    r12: the corpus size joins in as a 1-row broadcast (the oracle's own
+    CROSS JOIN n shape, same as tpch_q11's global total) instead of a
+    driver-blocking ``docs.count()`` at plan-build time — one less
+    serialized job per invocation, and the count is scheduled inside the
+    query DAG. ``count + 1.0`` promotes to the same double the Python
+    literal produced, so values are bit-identical."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
         tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6),
+            F.round(
+                F.col("tf") * F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
         )
+        .drop("__n_docs")
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 200))
         .select("doc_id", "tok", "tfidf", "rnk")
@@ -257,7 +296,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back on doc_id (co-partitioned aggregations, no wide rows)."""
     from qurious_spark.functions.text import ngrams, type_token_ratio
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
 
     def top_frac(n: int, name: str) -> DataFrame:
         return (
@@ -311,7 +350,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays compact."""
     from qurious_spark.operators.chunking import chunk_documents
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     out = chunk_documents(docs, chunk_size=32, overlap=8)
     return out.select(
         "doc_id", "chunk_idx", F.md5("chunk").alias("chunk_fp"), "n_chunk_tokens"
@@ -346,7 +385,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redactor that under- or over-masks hash-mismatches."""
     from qurious_spark.functions.redact import pii_count, redact_pii
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     salted = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -484,7 +523,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) per doc — see winnow_fingerprint_pairs docstring)."""
     from qurious_spark.functions.text import winnow_fingerprint_pairs
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     pairs = winnow_fingerprint_pairs(docs)
     return pairs.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_fp"),
@@ -552,7 +591,7 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qurious_spark.functions.text import winnow_fingerprint_pairs
     from qurious_spark.operators.caching import persist_rotating
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     ex = persist_rotating(
         winnow_fingerprint_pairs(docs).withColumnRenamed("fingerprint", "f"),
         "winnow_fp_pairs",
@@ -622,5 +661,5 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document lag window."""
     from qurious_spark.functions.text import duplicated_spans
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return duplicated_spans(docs, min_len=60)
