@@ -903,12 +903,19 @@ sql_query(
 # scans lineitem THREE times (l1 + the EXISTS l2 + the NOT EXISTS l3) and
 # joins the fact table against itself twice — at cluster scale that is two
 # extra full passes and two extra fact-table joins. The Spark side now scans
-# lineitem ONCE: per (orderkey, suppkey) it derives whether that supplier
-# shipped late, per orderkey it counts distinct suppliers and late
-# suppliers, and the EXISTS/NOT EXISTS pair collapses to
+# lineitem ONCE and never consumes any frame twice: per (orderkey, suppkey)
+# it counts that supplier's late rows, per orderkey it derives the supplier
+# count, the late-supplier count, THE single late supplier's key and its
+# late-row total, and the EXISTS/NOT EXISTS pair collapses to
 # n_supp >= 2 AND n_late_supp == 1 (l1's own supplier is always in both
 # sets, so "another supplier exists" = n_supp >= 2 and "no OTHER supplier
-# was late" = exactly one late supplier). Row-for-row identical output
+# was late" = exactly one late supplier; every counted l1 row is late, so
+# its supplier IS that one late supplier and numwait = its late-row count).
+# Because each intermediate has exactly one consumer, one lineitem pass is
+# structural — no exchange-reuse or materialization gate needed — and on a
+# cluster, where li⋈o plans as a sort-merge join on l_orderkey, BOTH
+# aggregations are satisfied by the join's hashpartitioning(l_orderkey)
+# output and add zero exchanges. Row-for-row identical output
 # (differential pin: tests/test_moneysum.py::test_q21_matches_original;
 # oracle keeps the original three-scan text).
 _Q21_ORACLE = """
@@ -949,33 +956,38 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL '90' DAY")
         ).alias("late"),
     )
-    # j (a ~17-byte/row derivation of the fact join) feeds both the
-    # per-supplier aggregate and the late-row filter; materializing it once
-    # at cluster input sizes replaces a second full lineitem scan + join
-    # with a re-read of the narrow frame (local no-op below the gate)
-    from qurious_spark.checkpoint import checkpoint_if_large
-
-    j = checkpoint_if_large(j, size_of=li)
-    # MAX over booleans: true if ANY of the supplier's rows in the order is
-    # late; NULL-late rows (never in testdata) fold away exactly like the
-    # original predicates (MAX ignores NULL, the final filter drops NULL).
+    # per (order, supplier): how many of this supplier's rows shipped late
+    # (0 = supplier not late; NULL-late rows — never in testdata — fold to 0
+    # exactly like the original predicates, which drop non-TRUE rows).
     per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("supp_late")
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows")
     )
+    # per order: supplier count, late-supplier count, and — for the orders
+    # that qualify (exactly one late supplier) — that supplier's key and
+    # late-row count. MAX over the single late supplier's key is exact; for
+    # disqualified orders (0 or >=2 late suppliers) the row is filtered out
+    # before the value is ever used.
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late_supp"),
+        F.sum(F.when(F.col("n_late_rows") > 0, 1).otherwise(0)).alias("n_late_supp"),
+        F.max(F.when(F.col("n_late_rows") > 0, F.col("l_suppkey"))).alias(
+            "late_suppkey"
+        ),
+        F.sum("n_late_rows").alias("late_rows"),
     )
-    waiting_rows = (
-        j.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    qualifying = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     s = spark.table("supplier").select("s_suppkey", "s_name")
     return (
-        waiting_rows.join(s, waiting_rows.l_suppkey == s.s_suppkey)
+        qualifying.join(s, qualifying.late_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit("*")).alias("numwait"))
+        # coalesce with a non-nullable literal: the value can never be NULL
+        # (groups are non-empty, late_rows non-NULL) but SUM types nullable
+        # where the original count(*) did not, and the pin asserts schemas
+        .agg(
+            F.coalesce(F.sum("late_rows"), F.lit(0).cast("bigint")).alias("numwait")
+        )
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )

@@ -104,9 +104,14 @@ def test_connected_components_reliable_mode(tmp_path):
     )
     env = dict(os.environ, SPARK_GRAFT_CHECKPOINT_DIR=ckdir)
     env.pop("SPARK_GRAFT_AQE", None)
+    # 600s: the subprocess pays a full JVM startup + ~10 checkpointed CC
+    # rounds while the parent suite's 32-core session keeps running; at the
+    # 300s budget this flaked once under a degraded host window (r12 resume:
+    # 60s in isolation, >300s inside the full suite on a box whose pyloop
+    # probe read 2.2x slow).
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        timeout=300, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]
     result = json.loads(out.stdout.strip().splitlines()[-1])

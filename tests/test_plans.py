@@ -72,6 +72,22 @@ def test_exists_becomes_semi_join(spark, registry):
     assert "LeftSemi" in plan
 
 
+def test_q21_single_pass_over_lineitem(spark, registry):
+    """The r12 q21 rewrite makes one lineitem pass STRUCTURAL: every
+    intermediate has exactly one consumer, so the plan must scan lineitem
+    (and orders) exactly once — the original EXISTS/NOT-EXISTS SQL scanned
+    lineitem three times — and needs no sort-merge self-join."""
+    from qurious_spark.plans.inspect import _executed_plan, plan_facts
+
+    df = registry.REGISTRY["tpch_q21"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    facts = plan_facts(plan)
+    assert facts["sort_merge_joins"] == 0
+    assert facts["cartesian"] == 0
+
+
 def test_metadata_agg_prunes_blob_column(spark):
     from qurious_spark.operators.multimodal import media_stats, synthetic_media
 
