@@ -33,6 +33,14 @@ BENCH_IDLE_WAIT_SEC [600s] total, re-probing each step and proceeding at
 the first healthy probe (or after the budget, with the best probe found).
 The wait and the probe series are recorded in `context` so the artifact
 proves either "benched in a healthy window" or "the box never offered one".
+
+Multi-core gate (r12): one degraded window passed EVERY single-thread probe
+(sha256 1.1 GB/s, pyloop 0.18s, warm-read 2.1 GB/s, load 0.23) yet ran the
+32-core suite ~1.8x slow — the hypervisor was granting ~5 effective cores
+(32-thread sha256 aggregated 4.7x the single-thread rate; /proc/stat steal
+>1e6 jiffies). The probe set therefore includes a GIL-releasing 32-thread
+sha256 fan-out and a steal-time sample; the health gate additionally
+requires cpu_mt_scale >= BENCH_IDLE_MT_EFF [0.25] x thread count.
 """
 
 from __future__ import annotations
@@ -114,39 +122,97 @@ def _rewarm_page_cache(sf_dir: str) -> dict[str, float]:
 
 
 def _cpu_probe() -> dict[str, float]:
-    """Time two fixed single-thread workloads: a C-speed one (sha256 over
-    64 MB — memory-bandwidth sensitive) and a pure-Python loop (interpreter/
-    scheduler sensitive). Host-level CPU degradation that no guest counter
-    shows (observed: suite 33s with a healthy 2.6 GB/s warm-read) moves
-    these where the I/O probe stays flat."""
+    """Time three fixed workloads: a C-speed single-thread one (sha256 over
+    64 MB — memory-bandwidth sensitive), a pure-Python loop (interpreter/
+    scheduler sensitive), and the SAME sha256 work fanned across every core
+    (hashlib releases the GIL on >2 KiB buffers, so threads scale).
+
+    The single-thread probes catch host degradation that slows each core;
+    the multi-core probe catches the OPPOSITE failure this box exhibits
+    under co-tenant pressure: every 1-thread probe reads healthy (sha256
+    ~1.06 GB/s, pyloop 0.18s) while 32 threads aggregate only ~5 GB/s —
+    4.7x scaling on a 32-CPU guest, i.e. the hypervisor is granting ~5
+    effective cores (confirmed by >1e6 steal jiffies in /proc/stat) and the
+    32-core suite reads ~1.8x inflated. `cpu_mt_scale` = aggregate/single
+    throughput ratio; `cpu_steal_pct` = steal share over a 0.5s window."""
     import hashlib
+    from concurrent.futures import ThreadPoolExecutor
 
     buf = b"\x5a" * (1 << 20)
+
+    def sha_mb(n_mb: int) -> float:
+        h = hashlib.sha256()
+        for _ in range(n_mb):
+            h.update(buf)
+        return float(n_mb)
+
     t0 = time.time()
-    h = hashlib.sha256()
-    for _ in range(64):
-        h.update(buf)
+    sha_mb(64)
     sha_sec = time.time() - t0
     t0 = time.time()
     x = 0
     for i in range(5_000_000):
         x += i
     loop_sec = time.time() - t0
+
+    nthreads = min(32, os.cpu_count() or 1)
+    t0 = time.time()
+    with ThreadPoolExecutor(nthreads) as ex:
+        total = sum(ex.map(sha_mb, [64] * nthreads))
+    mt_sec = time.time() - t0
+    single = 64 / sha_sec if sha_sec > 0 else -1.0
+    aggregate = total / mt_sec if mt_sec > 0 else -1.0
+
+    steal_pct = -1.0
+    try:
+        def _stat() -> tuple[int, int]:
+            with open("/proc/stat") as fh:
+                f = fh.readline().split()
+            vals = [int(v) for v in f[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+
+        s0, t0_j = _stat()
+        time.sleep(0.5)
+        s1, t1_j = _stat()
+        if t1_j > t0_j:
+            steal_pct = round(100.0 * (s1 - s0) / (t1_j - t0_j), 1)
+    except OSError:
+        pass
+
     return {
-        "cpu_sha256_mb_s": round(64 / sha_sec, 1) if sha_sec > 0 else -1.0,
+        "cpu_sha256_mb_s": round(single, 1),
         "cpu_pyloop_sec": round(loop_sec, 3),
+        "cpu_mt_sha256_mb_s": round(aggregate, 1),
+        "cpu_mt_threads": float(nthreads),
+        "cpu_mt_scale": round(aggregate / single, 2) if single > 0 else -1.0,
+        "cpu_steal_pct": steal_pct,
     }
 
 
 def _healthy(load: float, context: dict[str, float]) -> bool:
     """True when the box looks like the idle window BASELINE.md's protocol
-    requires: low ambient load AND both throughput probes in the healthy
-    band observed across rounds 3-11 (warm re-read ~2.3-2.6 GB/s, sha256
-    ~1.0-1.1 GB/s on this box)."""
+    requires: low ambient load AND both single-thread throughput probes in
+    the healthy band observed across rounds 3-11 (warm re-read ~2.3-2.6
+    GB/s, sha256 ~1.0-1.1 GB/s on this box) AND the multi-core probe scales
+    — per thread the floor is BENCH_IDLE_MT_EFF (default 0.25, i.e. >=8x
+    aggregate scaling on 32 threads; the probe-blind degraded window this
+    gate was added for measured 4.7x while every single-thread probe read
+    healthy and the suite ran ~1.8x slow). Entries absent from ``context``
+    (e.g. the hand-built frames in tests) skip their gate."""
+    mt_scale = context.get("cpu_mt_scale")
+    mt_threads = context.get("cpu_mt_threads", 32.0)
+    mt_ok = (
+        mt_scale is None
+        or mt_scale < 0
+        or mt_scale
+        >= float(os.environ.get("BENCH_IDLE_MT_EFF", "0.25")) * mt_threads
+    )
     return (
         load < float(os.environ.get("BENCH_IDLE_LOAD_MAX", "2.0"))
         and context["warm_read_mb_s"] >= float(os.environ.get("BENCH_IDLE_WARM_MB_S", "2000"))
         and context["cpu_sha256_mb_s"] >= float(os.environ.get("BENCH_IDLE_SHA_MB_S", "800"))
+        and mt_ok
     )
 
 
