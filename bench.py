@@ -275,11 +275,16 @@ def main() -> None:
     waited = 0.0
     load_gate = loadavg_start
     probes: list[dict[str, float]] = []
+    # NOTE: the while-loop body below also appends the mt/steal fields to
+    # the probe series so a budget-exhausted artifact shows WHICH gate held.
     while waited + step <= wait_budget and not _healthy(load_gate, context):
         print(
             f"# box unhealthy (load {load_gate}, warm-read "
             f"{context['warm_read_mb_s']} MB/s, sha256 "
-            f"{context['cpu_sha256_mb_s']} MB/s); sleeping {int(step)}s "
+            f"{context['cpu_sha256_mb_s']} MB/s, mt-scale "
+            f"{context.get('cpu_mt_scale', -1.0)}x/"
+            f"{int(context.get('cpu_mt_threads', 0))}t, steal "
+            f"{context.get('cpu_steal_pct', -1.0)}%); sleeping {int(step)}s "
             f"({int(waited)}s of {int(wait_budget)}s budget used)",
             file=sys.stderr,
         )
@@ -296,6 +301,8 @@ def main() -> None:
                 "loadavg": load_gate,
                 "warm_read_mb_s": context["warm_read_mb_s"],
                 "cpu_sha256_mb_s": context["cpu_sha256_mb_s"],
+                "cpu_mt_scale": context.get("cpu_mt_scale", -1.0),
+                "cpu_steal_pct": context.get("cpu_steal_pct", -1.0),
             }
         )
     context["idle_wait_sec"] = int(waited)
