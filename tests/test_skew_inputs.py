@@ -25,7 +25,7 @@ SUBSET = [
     "events_interval_overlap",  # sf0.01 sweep find: sub-second truncation
     "tpch_q1",  # flagship; avg columns share the half-point fix
     "tpch_q18",  # groupBy-HAVING over the hot orderkey
-    "tpch_q21",  # lineitem self-joins on the hot orderkey
+    "tpch_q21",  # per-order supplier aggregation over the hot orderkey
     "tpch_q5",  # multi-way join topology under FK collapse
     "window_rank_dense",  # rank over a giant partition
     "agg_basic",
