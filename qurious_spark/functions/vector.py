@@ -53,3 +53,32 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     d = dot(a, b, dim)
     denom = l2_norm(a, dim) * l2_norm(b, dim)
     return F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------- #
+# SQL-text twins of the HOF (dim=None) forms above. Each Python-lambda HOF
+# costs ~6-10 py4j round trips to construct (lambda-variable registration +
+# tree assembly) and hot builders compose several per call; the text forms
+# parse to the SAME analyzed expression (same fold order — bit-identical
+# results; differential pin: tests/test_prep_ops.py::test_vector_sql_twins)
+# in ONE round trip. Arguments are SQL fragments (quoted column names).
+# --------------------------------------------------------------------------- #
+
+
+def as_double_sql(vec: str) -> str:
+    return f"transform({vec}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sq_sql(a: str) -> str:
+    return f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+
+
+def l2_norm_sql(a: str) -> str:
+    return f"sqrt({norm_sq_sql(a)})"

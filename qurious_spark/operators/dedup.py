@@ -56,7 +56,7 @@ def tokens(col: Column) -> Column:
     return F.split(normalize(col), " ")
 
 
-def shingles(col: Column, k: int = 3) -> Column:
+def shingles(col_sql: str, k: int = 3) -> Column:
     """Distinct k-token shingles (array<string>); whole-document shingle for
     texts shorter than k tokens. Pure array expressions — no explode.
 
@@ -65,19 +65,28 @@ def shingles(col: Column, k: int = 3) -> Column:
     higher-order lambda's captured expressions per element, so the naive
     ``transform(sequence, i -> slice(toks, i, k))`` form recomputes the
     whole tokenization per window — O(n²) per document (4s for ONE
-    20k-token doc). This form is O(n·k)."""
-    toks = tokens(col)
+    20k-token doc). This form is O(n·k).
+
+    ``col_sql`` is the source column as a SQL fragment (callers pass the
+    backtick-quoted column name). The whole shingle tree is emitted as ONE
+    SQL-text expression — a single py4j round trip instead of ~40 Column
+    calls plus two Python-lambda HOF constructions (r12 profiling: ~0.5 s
+    of driver latency per build on a py4j-degraded host, ~70 ms healthy).
+    The text parses to the same analyzed expression the Column form built
+    (the token subtree mirrors ``tokens``/``normalize`` above; differential
+    pin: tests/test_prep_ops.py::test_shingles_sql_text_form)."""
+    toks = f"split(trim(regexp_replace(lower({col_sql}), '\\\\s+', ' ')), ' ')"
     shifted = [toks] + [
-        F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        f"slice({toks}, {i + 1}, greatest(size({toks}) - {i}, 0))"
         for i in range(1, k)
     ]
-    zipped = F.arrays_zip(*shifted)  # pads shorter arrays with NULL structs
-    full = F.filter(zipped, lambda s: s[str(k - 1)].isNotNull())
-    windows = F.transform(
-        full, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= k, windows).otherwise(F.array(F.array_join(toks, " ")))
+    zipped = f"arrays_zip({', '.join(shifted)})"  # pads short arrays w/ NULLs
+    full = f"filter({zipped}, s -> s['{k - 1}'] IS NOT NULL)"
+    fields = ", ".join(f"s['{i}']" for i in range(k))
+    windows = f"transform({full}, s -> concat_ws(' ', {fields}))"
+    return F.expr(
+        f"array_distinct(CASE WHEN size({toks}) >= {k} THEN {windows} "
+        f"ELSE array(array_join({toks}, ' ')) END)"
     )
 
 
@@ -211,10 +220,10 @@ def decontaminate(
     the DuckDB oracle).
     """
     tr = spread(train).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__g")
+        F.col(id_col), F.explode(shingles(f"`{text_col}`", n)).alias("__g")
     ).select(F.col(id_col), md5_int(F.col("__g")).alias("__gh"))
     ev = (
-        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("__g"))
+        eval_df.select(F.explode(shingles(f"`{text_col}`", n)).alias("__g"))
         .select(md5_int(F.col("__g")).alias("__gh"))
         .distinct()
     )
@@ -244,7 +253,7 @@ def jaccard_pairs(
     (prefix filtering) — makes the join skew-proof at corpus scale at the cost
     of missing pairs that ONLY share ultra-common shingles.
     """
-    sh = spread(df).select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    sh = spread(df).select(F.col(id_col).alias("id"), F.explode(shingles(f"`{text_col}`", k)).alias("sh"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -282,7 +291,7 @@ def minhash_signatures(
     only (id, 16 bigints) thanks to map-side partial MINs, so the pattern
     holds at corpus scale.
     """
-    sh = spread(df).select(F.col(id_col), shingles(F.col(text_col), k).alias("shs"))
+    sh = spread(df).select(F.col(id_col), shingles(f"`{text_col}`", k).alias("shs"))
     return _signatures_from_shingles(sh, id_col)
 
 
@@ -294,9 +303,10 @@ def _signatures_from_shingles(sh_df: DataFrame, id_col: str) -> DataFrame:
     trips each): identical plan, but ~150 ms less driver latency per call
     (r12 profiling; plan construction is on the timed path every bench
     pass and on every batch of an incremental pipeline)."""
-    ex = sh_df.select(
-        F.col(id_col), F.explode("shs").alias("s")
-    ).withColumn("h", md5_int(F.col("s")) % MINHASH_P)
+    ex = sh_df.selectExpr(f"`{id_col}`", "explode(shs) AS s").selectExpr(
+        f"`{id_col}`",
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P} AS h",
+    )
     return ex.groupBy(id_col).agg(
         *[
             F.expr(f"MIN(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}")
@@ -371,7 +381,7 @@ def minhash_dedup_pairs(
 
     sh = persist_rotating(
         spread(df).select(
-            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
+            F.col(id_col).alias("id"), shingles(f"`{text_col}`", k).alias("shs")
         ),
         "minhash_shingle_frame",
     )
@@ -382,15 +392,14 @@ def minhash_dedup_pairs(
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("shs_a") + F.size("shs_b") - F.col("inter")),
-                6,
-            ),
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "size(array_intersect(shs_a, shs_b)) AS inter",
+            "size(shs_a) AS sz_a",
+            "size(shs_b) AS sz_b",
         )
+        .selectExpr("id_a", "id_b", "round(inter / (sz_a + sz_b - inter), 6) AS jaccard")
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -402,7 +411,7 @@ def simhash_fingerprints(
     """32-bit SimHash via explode + one codegen'd aggregate with 32 per-bit
     vote SUMs (same scale shape as minhash_signatures)."""
     ex = spread(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+        F.col(id_col), F.explode(shingles(f"`{text_col}`", k)).alias("s")
     ).withColumn("h", md5_int(F.col("s")))
     # single SQL-text expressions per aggregate / the final fold — one py4j
     # round trip each instead of ~8 per bit (see _signatures_from_shingles)
@@ -467,7 +476,7 @@ def minhash_lsh_ml(
     approxSimilarityJoin prunes via LSH OR-amplification."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    with_sh = spread(df).select(F.col(id_col), shingles(F.col(text_col)).alias("shs")).filter(
+    with_sh = spread(df).select(F.col(id_col), shingles(f"`{text_col}`").alias("shs")).filter(
         F.size("shs") > 0
     )
     tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18)
@@ -514,7 +523,7 @@ def incremental_near_dups(
 
     sh_new = persist_rotating(
         spread(new_df).select(
-            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
+            F.col(id_col).alias("id"), shingles(f"`{text_col}`", k).alias("shs")
         ),
         "incr_new_shingles",
     )  # read by: signature agg, band probe (via sigs), and BOTH verify sides
@@ -545,7 +554,7 @@ def incremental_near_dups(
     sh_c = (
         spread(corpus_df)
         .join(c_ids, id_col)
-        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs"))
+        .select(F.col(id_col).alias("id"), shingles(f"`{text_col}`", k).alias("shs"))
     )
     # verify each candidate against the text of the SIDE it came from: a
     # doc id present in both the corpus and the batch would otherwise join

@@ -20,7 +20,9 @@ from qurious_spark.checkpoint import checkpoint as _checkpoint
 
 
 def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn(vec_col, V.as_double(F.col(vec_col)))
+    # SQL-text twin of V.as_double: one py4j round trip vs a Python-lambda
+    # HOF construction (~0.1 s/call on a py4j-degraded driver host)
+    return df.withColumn(vec_col, F.expr(V.as_double_sql(f"`{vec_col}`")))
 
 
 def brute_force_topk(
@@ -40,21 +42,41 @@ def brute_force_topk(
     join instead of once per pair.
     """
     if dim is None:
-        q0 = with_double_vec(queries, vec_col)
-        c0 = with_double_vec(corpus, vec_col)
+        # SQL-text twins (one py4j round trip per expression; same analyzed
+        # tree as the Column/HOF forms — see functions/vector.py)
+        q = with_double_vec(queries, vec_col).selectExpr(
+            f"`{id_col}` AS query_id",
+            f"`{vec_col}` AS qv",
+            f"{V.l2_norm_sql(f'`{vec_col}`')} AS qn",
+        )
+        c = with_double_vec(corpus, vec_col).selectExpr(
+            f"`{id_col}` AS neighbor_id",
+            f"`{vec_col}` AS cv",
+            f"{V.l2_norm_sql(f'`{vec_col}`')} AS cn",
+        )
+        sim = F.expr(
+            "round(CASE WHEN qn * cn > 0 THEN "
+            f"{V.dot_sql('qv', 'cv')} / (qn * cn) "
+            "ELSE CAST(0.0 AS DOUBLE) END, 6)"
+        )
     else:
-        q0, c0 = queries, corpus
-    q = q0.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        V.l2_norm(F.col(vec_col), dim).alias("qn"),
-    )
-    c = c0.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        V.l2_norm(F.col(vec_col), dim).alias("cn"),
-    )
-    denom = F.col("qn") * F.col("cn")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            V.l2_norm(F.col(vec_col), dim).alias("qn"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            V.l2_norm(F.col(vec_col), dim).alias("cn"),
+        )
+        denom = F.col("qn") * F.col("cn")
+        sim = F.round(
+            F.when(denom > 0, V.dot(F.col("qv"), F.col("cv"), dim) / denom).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        )
     # spread the O(|corpus| x |queries|) scoring across the cluster: a small
     # corpus file may arrive as one input partition, and the cross join
     # inherits the streamed side's partitioning — the O(N) repartition is
@@ -64,15 +86,7 @@ def brute_force_topk(
         c.repartition(par)
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim",
-            F.round(
-                F.when(
-                    denom > 0, V.dot(F.col("qv"), F.col("cv"), dim) / denom
-                ).otherwise(F.lit(0.0)),
-                6,
-            ),
-        )
+        .withColumn("sim", sim)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -175,18 +175,18 @@ _Q2_ORACLE = """
 @df_query("tpch_q2", _Q2_ORACLE)
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
-    p = (
-        spark.table("part")
-        .where((F.col("p_type") == "PROMO") & (F.col("p_size") < 15))
-        .select("p_partkey", "p_name")
-    )
-    li = spark.table("lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
-    )
-    li_f = li.join(
-        F.broadcast(p.select("p_partkey")),
-        li.l_partkey == F.col("p_partkey"),
-        "left_semi",
+    li = spark.table("lineitem")
+    # the semi-filtered fact frame as ONE SQL text (r12 driver-latency pass;
+    # same plan and broadcast hint, bit-equality held by the existing pin)
+    li_f = spark.sql(
+        """
+        SELECT /*+ BROADCAST(pk) */ l_partkey, l_suppkey, l_extendedprice, l_quantity
+        FROM lineitem
+        LEFT SEMI JOIN (
+            SELECT p_partkey FROM part
+            WHERE p_type = 'PROMO' AND p_size < 15
+        ) pk ON l_partkey = pk.p_partkey
+        """
     )
     # li_f feeds BOTH the MIN aggregate and the outer join; materialize the
     # narrow semi-filtered frame once when the lineitem input is cluster-
@@ -197,19 +197,22 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_pp = li_f.groupBy("l_partkey").agg(
         F.expr("MIN(l_extendedprice / l_quantity) AS __min_uc")
     )
+    p = (
+        spark.table("part")
+        .where(F.expr("p_type = 'PROMO' AND p_size < 15"))
+        .select("p_partkey", "p_name")
+    )
     s = spark.table("supplier").select("s_suppkey", "s_name")
     return (
         li_f.join(min_pp, "l_partkey")
         .filter(F.expr("l_extendedprice / l_quantity = __min_uc"))
-        .join(p, F.col("l_partkey") == p.p_partkey)
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
-        .select(
+        .join(p, F.expr("l_partkey = p_partkey"))
+        .join(s, F.expr("l_suppkey = s_suppkey"))
+        .selectExpr(
             "p_partkey",
             "p_name",
             "s_name",
-            F.expr(
-                "ROUND(l_extendedprice / l_quantity * 10000) / 10000 AS unit_cost"
-            ),
+            "ROUND(l_extendedprice / l_quantity * 10000) / 10000 AS unit_cost",
         )
     )
 
@@ -413,69 +416,46 @@ _Q10_ORACLE = """
 
 @df_query("tpch_q10", _Q10_ORACLE)
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same pre-aggregate-below-the-join + semi-join-before-top-n shape as
+    # the df form it replaces, emitted as ONE SQL text (r12 driver-latency
+    # pass: the ~40-call py4j chain cost 0.15-0.7 s per build depending on
+    # host health; the text parses in one round trip to the same optimized
+    # plan — plans/r12/tpch_q10_{before,after}.txt). Revenue rounds in
+    # DECIMAL space before the double cast (ROUND(double, 2) diverges from
+    # the oracle on exact .xx5 half-points); the pre-limit semi join applies
+    # EVERY inner-join existence condition (customer exists AND its nation
+    # exists) — filtering nation only after the limit would drop rows the
+    # oracle replaces. Bit-equality vs the df form is pinned
+    # (tests/test_moneysum.py::test_q10_matches_original, incl. a non-UTC
+    # session-TZ sweep for the to_timestamp -> TIMESTAMP literal swap).
     ensure_views(spark, sf_dir)
-    o = (
-        spark.table("orders")
-        .where(
-            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-10-01")))
-            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT o.o_custkey,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))), 2) AS DOUBLE) AS revenue
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l.l_returnflag = 'R'
+            GROUP BY o.o_custkey
+        ),
+        cust_valid AS (
+            SELECT c.c_custkey
+            FROM customer c LEFT SEMI JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        top AS (
+            SELECT r.o_custkey, r.revenue
+            FROM rev r LEFT SEMI JOIN cust_valid cv ON r.o_custkey = cv.c_custkey
+            ORDER BY r.revenue DESC, r.o_custkey
+            LIMIT 20
         )
-        .select("o_orderkey", "o_custkey")
-    )
-    li = (
-        spark.table("lineitem")
-        .where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    )
-    rev = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_custkey")
-        .agg(
-            # round in DECIMAL space, then cast: ROUND(double, 2) diverges
-            # from the oracle on exact .xx5 half-points (DuckDB rounds the
-            # binary value, Spark the shortest decimal string) — surfaced
-            # by the sf1 gate on tpch_q7's 68M revenue sum
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(24,4)"
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-    cust = spark.table("customer")
-    # the pre-limit semi join must apply EVERY inner-join existence
-    # condition (customer exists AND its nation exists) — filtering nation
-    # only after the limit would drop rows the oracle replaces
-    cust_valid = cust.join(
-        spark.table("nation").select("n_nationkey"),
-        cust.c_nationkey == F.col("n_nationkey"),
-        "left_semi",
-    )
-    top = (
-        rev.join(
-            cust_valid.select("c_custkey"),
-            rev.o_custkey == F.col("c_custkey"),
-            "left_semi",
-        )
-        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
-        .limit(20)
-    )
-    return (
-        top.join(
-            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
-            top.o_custkey == F.col("c_custkey"),
-        )
-        .join(
-            spark.table("nation").select("n_nationkey", "n_name"),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        SELECT c.c_custkey, c.c_name, t.revenue, c.c_acctbal, n.n_name
+        FROM top t
+        JOIN customer c ON t.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY t.revenue DESC, c.c_custkey
+        """
     )
 
 
@@ -506,16 +486,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per group to the identical DECIMAL(34,4) the decimal SUM produced
     # (bit-exact pin: tests/test_moneysum.py).
     u = _unit_expr("l_extendedprice * l_quantity", 4)
-    grouped = (
-        li.groupBy("l_partkey")
-        .agg(
-            F.expr(f"SUM({u} DIV 100000000)").alias("pv_a"),
-            F.expr(f"SUM(({u} % 100000000) DIV 10000)").alias("pv_b"),
-            F.expr(f"SUM({u} % 10000)").alias("pv_c"),
-        )
-        .withColumn("pv_dec", F.expr(money_sum_recomb("pv", 4, 24)))
-        .drop("pv_a", "pv_b", "pv_c")
-    )
+    grouped = li.groupBy("l_partkey").agg(
+        F.expr(f"SUM({u} DIV 100000000)").alias("pv_a"),
+        F.expr(f"SUM(({u} % 100000000) DIV 10000)").alias("pv_b"),
+        F.expr(f"SUM({u} % 10000)").alias("pv_c"),
+    ).selectExpr("l_partkey", f"{money_sum_recomb('pv', 4, 24)} AS pv_dec")
     # global total = re-aggregate the per-part sums down to ONE row, then
     # broadcast it back over the grouped rows. Unlike an unpartitioned window
     # (which funnels all |parts| rows through a single partition — a
@@ -533,13 +508,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grouped.crossJoin(F.broadcast(total))
         .filter(
-            F.col("pv_dec").cast("double")
-            > F.col("tot_dec").cast("double") / F.col("n_parts") * F.lit(1.5)
+            F.expr(
+                "CAST(pv_dec AS DOUBLE)"
+                " > CAST(tot_dec AS DOUBLE) / n_parts * 1.5D"
+            )
         )
-        .select(
-            "l_partkey",
-            # decimal-space round (see q10): half-up in both engines
-            F.round(F.col("pv_dec"), 2).cast("double").alias("part_value"),
+        # decimal-space round (see q10): half-up in both engines
+        .selectExpr(
+            "l_partkey", "CAST(ROUND(pv_dec, 2) AS DOUBLE) AS part_value"
         )
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
@@ -690,17 +666,17 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_views(spark, sf_dir)
     li = spark.table("lineitem")
-    rev = (
-        li.where(
-            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
-            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))")
-            ).alias("total_revenue")
-        )
+    # the filtered aggregate as ONE SQL text (r12 driver-latency pass — one
+    # py4j round trip; same plan, bit-equality held by the existing pins)
+    rev = spark.sql(
+        """
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+        """
     )
     # rev is consumed twice (winners + MAX) and exchange reuse cannot
     # deduplicate the copies (see header). Materialize the supplier-grained
@@ -712,16 +688,16 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     winners = (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("__mx"))
+        .filter("total_revenue = __mx")
         .select("l_suppkey", "total_revenue")
     )
     s = spark.table("supplier").select("s_suppkey", "s_name")
     return (
-        s.join(F.broadcast(winners), s.s_suppkey == winners.l_suppkey)
-        .select(
+        s.join(F.broadcast(winners), F.expr("s_suppkey = l_suppkey"))
+        .selectExpr(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
+            "CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue",
         )
         .orderBy("s_suppkey")
     )
@@ -775,17 +751,17 @@ _Q17_ORACLE = """
 @df_query("tpch_q17", _Q17_ORACLE)
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
-    pk = (
-        spark.table("part")
-        .where(F.col("p_brand") == "Brand#13")
-        .select("p_partkey")
-    )
-    li = spark.table("lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
+    li = spark.table("lineitem")
     # one broadcast semi-join restricts BOTH consumers to Brand#13 partkeys
-    li_b13 = li.join(
-        F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi"
+    # (ONE SQL text — r12 driver-latency pass; same plan, pin-held)
+    li_b13 = spark.sql(
+        """
+        SELECT /*+ BROADCAST(pk) */ l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        LEFT SEMI JOIN (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+        ) pk ON l_partkey = pk.p_partkey
+        """
     )
     # li_b13 feeds both the AVG aggregate and the main join; materialize the
     # semi-filtered frame once at cluster input sizes (local no-op)
@@ -836,30 +812,31 @@ _Q18_ORACLE = """
 
 @df_query("tpch_q18", _Q18_ORACLE)
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same single-aggregate shape as the df form it replaces (aggregate
+    # lineitem by orderkey ONCE, filter > 250, join the survivors), emitted
+    # as ONE SQL text — r12 driver-latency pass, same optimized plan
+    # (plans/r12/tpch_q18_after.txt), bit-equality pinned
+    # (tests/test_moneysum.py::test_q18_matches_original).
     ensure_views(spark, sf_dir)
-    per_order = (
-        spark.table("lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__tq"))
-        .filter(F.col("__tq") > 250)
-    )
-    o = spark.table("orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = spark.table("customer").select("c_custkey", "c_name")
-    return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
-            F.round(F.col("__tq"), 2).alias("total_qty"),
+    return spark.sql(
+        """
+        WITH sums AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_q
+            FROM lineitem
+            GROUP BY l_orderkey
+        ),
+        per_order AS (
+            SELECT l_orderkey, total_q FROM sums WHERE total_q > 250
         )
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .limit(100)
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               ROUND(t.total_q, 2) AS total_qty
+        FROM per_order t
+        JOIN orders o ON t.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+        LIMIT 100
+        """
     )
 
 # Q19 — discounted revenue: disjunction of brand/size/quantity conjunctions
@@ -942,54 +919,52 @@ _Q21_ORACLE = """
 
 @df_query("tpch_q21", _Q21_ORACLE)
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_views(spark, sf_dir)
-    o = (
-        spark.table("orders")
-        .where(F.col("o_orderstatus") == "F")
-        .select("o_orderkey", "o_orderdate")
-    )
-    li = spark.table("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL '90' DAY")
-        ).alias("late"),
-    )
-    # per (order, supplier): how many of this supplier's rows shipped late
-    # (0 = supplier not late; NULL-late rows — never in testdata — fold to 0
-    # exactly like the original predicates, which drop non-TRUE rows).
-    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows")
-    )
-    # per order: supplier count, late-supplier count, and — for the orders
+    # One structural pass (see header), emitted as ONE SQL text — r12
+    # driver-latency pass, same optimized plan
+    # (plans/r12/tpch_q21_after.txt), bit-equality vs the three-scan SQL
+    # pinned (tests/test_moneysum.py::test_q21_matches_original).
+    #
+    # per_supp: how many of this supplier's rows shipped late (0 = supplier
+    # not late; NULL-late rows — never in testdata — fold to 0 exactly like
+    # the original predicates, which drop non-TRUE rows).
+    # per_order: supplier count, late-supplier count, and — for the orders
     # that qualify (exactly one late supplier) — that supplier's key and
     # late-row count. MAX over the single late supplier's key is exact; for
     # disqualified orders (0 or >=2 late suppliers) the row is filtered out
     # before the value is ever used.
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("n_late_rows") > 0, 1).otherwise(0)).alias("n_late_supp"),
-        F.max(F.when(F.col("n_late_rows") > 0, F.col("l_suppkey"))).alias(
-            "late_suppkey"
+    # COALESCE with a non-nullable literal: the value can never be NULL
+    # (groups are non-empty, late_rows non-NULL) but SUM types nullable
+    # where the original count(*) did not, and the pin asserts schemas.
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH per_supp AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+                            THEN 1 ELSE 0 END) AS n_late_rows
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY l.l_orderkey, l.l_suppkey
         ),
-        F.sum("n_late_rows").alias("late_rows"),
-    )
-    qualifying = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    )
-    s = spark.table("supplier").select("s_suppkey", "s_name")
-    return (
-        qualifying.join(s, qualifying.late_suppkey == s.s_suppkey)
-        .groupBy("s_name")
-        # coalesce with a non-nullable literal: the value can never be NULL
-        # (groups are non-empty, late_rows non-NULL) but SUM types nullable
-        # where the original count(*) did not, and the pin asserts schemas
-        .agg(
-            F.coalesce(F.sum("late_rows"), F.lit(0).cast("bigint")).alias("numwait")
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(1) AS n_supp,
+                   SUM(CASE WHEN n_late_rows > 0 THEN 1 ELSE 0 END) AS n_late_supp,
+                   MAX(CASE WHEN n_late_rows > 0 THEN l_suppkey END) AS late_suppkey,
+                   SUM(n_late_rows) AS late_rows
+            FROM per_supp
+            GROUP BY l_orderkey
         )
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(100)
+        SELECT s.s_name,
+               COALESCE(SUM(q.late_rows), CAST(0 AS BIGINT)) AS numwait
+        FROM per_order q
+        JOIN supplier s ON q.late_suppkey = s.s_suppkey
+        WHERE q.n_supp >= 2 AND q.n_late_supp = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 100
+        """
     )
 
 # Q22 — global sales opportunity: substring-derived code + uncorrelated AVG

@@ -272,6 +272,77 @@ def test_q2_matches_original(spark):
     )
 
 
+def test_q10_matches_original(spark):
+    """The SQL-text q10 (r12 driver-latency form) must reproduce the df-API
+    form it replaced bit-for-bit: same pre-aggregate-below-the-join +
+    semi-join-before-top-n shape, to_timestamp literals swapped for
+    TIMESTAMP literals (both zone-invariant on the NTZ testdata columns —
+    also swept by the non-UTC-TZ oracle gate)."""
+    import qurious_spark.queries as q
+    from pyspark.sql import functions as F
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+    new_df = q.REGISTRY["tpch_q10"](spark, SF)
+    o = (
+        spark.table("orders")
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-10-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.table("lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(24,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    cust = spark.table("customer")
+    cust_valid = cust.join(
+        spark.table("nation").select("n_nationkey"),
+        cust.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    top = (
+        rev.join(
+            cust_valid.select("c_custkey"),
+            rev.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    old_df = (
+        top.join(
+            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            top.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            spark.table("nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    )
+    assert_frames_bit_equal(old_df, new_df)
+
+
 def test_materialized_paths_match(spark, monkeypatch):
     """SPARK_GRAFT_MATERIALIZE_BYTES=0 forces every checkpoint_if_large site
     (q2 li_f, q17 li_b13 — the path taken at cluster input sizes); each

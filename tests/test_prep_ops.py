@@ -254,3 +254,87 @@ def test_duplicated_spans_offsets_slice_to_identical_text(spark):
     cut = lambda d: norm[d][spans[d].span_start - 1 : spans[d].span_end - 1]
     assert shared in cut(1) and shared in cut(2)
     assert cut(1) == cut(2)  # maximal spans of the same shared run agree
+
+
+def test_shingles_sql_text_form(spark):
+    """The SQL-text shingles (r12 driver-latency form) is bit-identical to
+    the Column-composed tree it replaced, including the short-document,
+    empty, whitespace-only, and NULL edge cases."""
+    from qurious_spark.operators.dedup import shingles
+
+    def shingles_column_reference(col, k):
+        # the pre-r12 Column composition, kept verbatim as the reference
+        toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+        shifted = [toks] + [
+            F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+            for i in range(1, k)
+        ]
+        zipped = F.arrays_zip(*shifted)
+        full = F.filter(zipped, lambda s: s[str(k - 1)].isNotNull())
+        windows = F.transform(
+            full, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+        )
+        return F.array_distinct(
+            F.when(F.size(toks) >= k, windows).otherwise(
+                F.array(F.array_join(toks, " "))
+            )
+        )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "one"),
+            (3, ""),
+            (4, "   "),
+            (5, "a  b\tc   d"),
+            (6, None),
+            (7, "dup dup dup dup"),
+        ],
+        "doc_id long, text string",
+    )
+    for k in (2, 3, 5):
+        got = {
+            r.doc_id: tuple(r.shs) if r.shs is not None else None
+            for r in docs.select(
+                "doc_id", shingles("`text`", k).alias("shs")
+            ).collect()
+        }
+        want = {
+            r.doc_id: tuple(r.shs) if r.shs is not None else None
+            for r in docs.select(
+                "doc_id", shingles_column_reference(F.col("text"), k).alias("shs")
+            ).collect()
+        }
+        assert got == want, f"k={k}: {got} != {want}"
+
+
+def test_vector_sql_twins(spark):
+    """The SQL-text vector expressions (as_double/dot/norm twins) match the
+    Column/HOF forms bit-exactly, including zero and empty vectors."""
+    from qurious_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.5, -2.25, 3.0], [0.5, 4.0, -1.0]),
+            (2, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+            (3, [], []),
+            (4, [1e-7, 2e7, -3.5], [7.25, 0.125, 9.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    hof = df.select(
+        "id",
+        V.dot(F.col("a"), F.col("b")).alias("d"),
+        V.norm_sq(F.col("a")).alias("n"),
+        V.l2_norm(F.col("b")).alias("l"),
+        V.as_double(F.col("a")).alias("c"),
+    ).collect()
+    txt = df.selectExpr(
+        "id",
+        f"{V.dot_sql('a', 'b')} AS d",
+        f"{V.norm_sq_sql('a')} AS n",
+        f"{V.l2_norm_sql('b')} AS l",
+        f"{V.as_double_sql('a')} AS c",
+    ).collect()
+    for h, t in zip(sorted(hof), sorted(txt)):
+        assert h == t
