@@ -115,6 +115,102 @@ def sql_query(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
     register(name, fn, duck_sql if duck_sql is not None else spark_sql)
 
 
+# --------------------------------------------------------------------------- #
+# Size-gated single-partition final sort (optimization round 13, guide §2.4
+# "an orderBy used only to make output deterministic" + VERDICT r12 task 6).
+#
+# A global ORDER BY without LIMIT plans Exchange(rangepartitioning), which
+# costs TWO extra jobs per execution: the RangePartitioner's sampling pass
+# over the sort input plus the sort-shuffle stage itself — ~0.1-0.2 s of
+# fixed per-query orchestration locally (measured: tpch_q1 0.687→0.484 s,
+# tpch_q5 1.020→0.911 s interleaved A/B, jobs 4→2 / 9→7) that dwarfs the
+# actual sort whenever the sorted frame is a handful of aggregate rows.
+#
+# The rewrite (coalesce(1) + sortWithinPartitions — identical rows, order,
+# and schema; the sort collapses to one task) is applied ONLY when the
+# Catalyst size estimate of the query's INPUT (``size_of``) is below
+# SPARK_GRAFT_SORT1_BYTES (default 1 GiB) — the same estimate-gated pattern
+# as checkpoint.checkpoint_if_large. The gate exists because coalesce(1)
+# also collapses the narrow stage UNDER the sort (the final-aggregate merge)
+# to one task reading one partial row per (group x map task): harmless when
+# the input is MBs, but at cluster scale (map tasks ~ input/128 MB) that is
+# a single-reducer straggler — exactly the blanket-coalesce(1) anti-pattern
+# VERDICT r11/r12 rejected. Above the gate the plan is the untouched wide
+# sort. Applied only to queries whose sorted output is provably bounded
+# (group-by over an enumerable domain) so even the below-gate single task
+# is O(bound) rows; never to top-n (LIMIT already plans
+# TakeOrderedAndProject, no sampling job).
+# --------------------------------------------------------------------------- #
+
+SORT1_BYTES_DEFAULT = 1 << 30
+
+# name -> (inner_sql, pin_order_by): every registered final-sort query, with
+# the pieces needed to reconstruct the original one-statement form for the
+# bit-equality pins (tests/test_final_sort.py).
+FINAL_SORT_FORMS: dict[str, tuple[str, str]] = {}
+
+
+def _order_columns(order_by: str):
+    """Parse a simple ORDER BY column list ("a, b DESC") into Columns with
+    the same asc/desc + default null-ordering semantics Spark SQL applies."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for term in order_by.split(","):
+        term = term.strip()
+        upper = term.upper()
+        if upper.endswith(" DESC"):
+            cols.append(F.expr(term[: -len(" DESC")].strip()).desc())
+        elif upper.endswith(" ASC"):
+            cols.append(F.expr(term[: -len(" ASC")].strip()).asc())
+        else:
+            cols.append(F.expr(term).asc())
+    return cols
+
+
+def final_sort_small(df: DataFrame, order_by: str, size_of: DataFrame | None = None) -> DataFrame:
+    """Apply the query's final ORDER BY; single-partition form below the gate.
+
+    ``order_by`` is the ORDER BY column list as SQL text (single source of
+    truth with the oracle's clause). ``size_of`` is the frame whose Catalyst
+    size estimate stands in for the query's input scale (typically the fact
+    table); defaults to ``df`` itself. Driver-side metadata only — no job
+    runs for the probe. Both branches produce identical rows in identical
+    order with identical schemas (pinned per query)."""
+    cols = _order_columns(order_by)
+    thresh = int(os.environ.get("SPARK_GRAFT_SORT1_BYTES", SORT1_BYTES_DEFAULT))
+    probe = df if size_of is None else size_of
+    size = int(probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < thresh:
+        return df.coalesce(1).sortWithinPartitions(*cols)
+    return df.orderBy(*cols)
+
+
+def sql_query_final_sort(
+    name: str,
+    inner_sql: str,
+    order_by: str,
+    size_of_table: str = "lineitem",
+    duck_sql: str | None = None,
+    pin_order_by: str | None = None,
+) -> None:
+    """Register a SQL query whose final ORDER BY goes through
+    ``final_sort_small``. The DuckDB oracle (and the bit-equality pin) keep
+    the original single-statement text ``inner_sql + ORDER BY``;
+    ``pin_order_by`` preserves the original clause when it spells columns
+    with table qualifiers the post-select frame no longer has."""
+    full = f"{inner_sql}\n    ORDER BY {pin_order_by or order_by}"
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=inner_sql, _ob=order_by) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return final_sort_small(
+            spark.sql(_sql), _ob, size_of=spark.table(size_of_table)
+        )
+
+    FINAL_SORT_FORMS[name] = (inner_sql, pin_order_by or order_by)
+    register(name, fn, duck_sql if duck_sql is not None else full)
+
+
 def df_query(name: str, oracle: str | None):
     """Decorator for DataFrame-API query functions."""
 

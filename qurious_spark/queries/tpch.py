@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qurious_spark.queries import df_query, ensure_views, sql_query
+from qurious_spark.queries import (
+    df_query,
+    ensure_views,
+    final_sort_small,
+    sql_query,
+    sql_query_final_sort,
+)
 
 # --------------------------------------------------------------------------- #
 # Money-sum via bounded integer unit sums (optimization round 12, guide §1.2
@@ -114,7 +120,11 @@ _Q1_ORACLE = """
     ORDER BY l_returnflag, l_linestatus
     """
 
-sql_query(
+# r13 optimization: the final ORDER BY goes through final_sort_small (two
+# fewer jobs per execution below the size gate; see queries/__init__.py).
+# Output is bounded by the (l_returnflag, l_linestatus) domain — single
+# digits of rows at any scale factor.
+sql_query_final_sort(
     "tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
@@ -138,8 +148,8 @@ sql_query(
         WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     )
-    ORDER BY l_returnflag, l_linestatus
     """,
+    order_by="l_returnflag, l_linestatus",
     duck_sql=_Q1_ORACLE,
 )
 
@@ -238,7 +248,9 @@ sql_query(
 # Q4 — order priority checking (reference q4.slt). Adapted: the original
 # EXISTS predicate l_commitdate < l_receiptdate is unavailable; "late line"
 # is l_shipdate > o_orderdate + 60 days. Keeps the EXISTS→semi-join shape.
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the 5-value
+# o_orderpriority domain.
+sql_query_final_sort(
     "tpch_q4",
     """
     SELECT o.o_orderpriority, count(*) AS order_count
@@ -251,8 +263,9 @@ sql_query(
             AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
       )
     GROUP BY o.o_orderpriority
-    ORDER BY o.o_orderpriority
     """,
+    order_by="o_orderpriority",
+    pin_order_by="o.o_orderpriority",
     duck_sql="""
     SELECT o.o_orderpriority, count(*) AS order_count
     FROM orders o
@@ -269,7 +282,9 @@ sql_query(
 )
 
 # Q5 — local supplier volume (reference q5.slt). Unmodified shape (6-way join).
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the nation domain
+# (25 rows at any scale factor).
+sql_query_final_sort(
     "tpch_q5",
     """
     SELECT n.n_name,
@@ -285,8 +300,8 @@ sql_query(
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n.n_name
-    ORDER BY revenue DESC
     """,
+    order_by="revenue DESC",
 )
 
 # Q6 — forecasting revenue change (reference q6.slt). Unmodified shape.
@@ -304,7 +319,9 @@ sql_query(
 
 # Q7 — volume shipping between two nations (reference q7.slt). Unmodified
 # shape (nation self-join x2 + year extraction).
-sql_query(
+# r13: final sort via final_sort_small — output bounded by 2 nation pairs x
+# the 7-year order-date domain.
+sql_query_final_sort(
     "tpch_q7",
     """
     SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
@@ -322,14 +339,16 @@ sql_query(
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
-    ORDER BY supp_nation, cust_nation, l_year
     """,
+    order_by="supp_nation, cust_nation, l_year",
 )
 
 # Q8 — national market share (reference q8.slt). Adapted: part filter uses
 # the testdata's single-word p_type vocabulary. Keeps the CASE-inside-
 # aggregate-ratio shape.
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the order-date
+# year domain (7 rows).
+sql_query_final_sort(
     "tpch_q8",
     """
     SELECT o_year,
@@ -350,8 +369,8 @@ sql_query(
           AND p.p_type = 'ECONOMY'
     ) all_nations
     GROUP BY o_year
-    ORDER BY o_year
     """,
+    order_by="o_year",
 )
 
 # Q9 — product type profit (reference q9.slt). Adapted: no ps_supplycost, so
@@ -360,7 +379,9 @@ sql_query(
 # '%ring%' (not TPC-H's color words): the driver testdata's part names are
 # adjective+noun pairs ("small ring", "hot bolt", ...), so a color token
 # matches zero rows and the query would be vacuously green.
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the nation x
+# order-year domain (25 x 7 = 175 rows).
+sql_query_final_sort(
     "tpch_q9",
     """
     SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
@@ -376,8 +397,8 @@ sql_query(
           AND p.p_name LIKE '%ring%'
     ) profit
     GROUP BY nation, o_year
-    ORDER BY nation, o_year DESC
     """,
+    order_by="nation, o_year DESC",
 )
 
 # Q10 — returned item reporting (reference q10.slt). Adapted: c_address /
@@ -505,7 +526,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = grouped.agg(
         F.sum("pv_dec").alias("tot_dec"), F.count(F.lit(1)).alias("n_parts")
     )
-    return (
+    out = (
         grouped.crossJoin(F.broadcast(total))
         .filter(
             F.expr(
@@ -517,13 +538,20 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "l_partkey", "CAST(ROUND(pv_dec, 2) AS DOUBLE) AS part_value"
         )
-        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
+    # r13: size-gated final sort. Below the gate the coalesced task carries
+    # the ~2.5% of partkeys the threshold keeps — a few hundred rows at
+    # bench SFs; above it the plan keeps the wide range sort (the output
+    # grows with the part domain, so it is NOT domain-bounded like q1/q5).
+    return final_sort_small(out, "part_value DESC, l_partkey", size_of=li)
 
 # Q12 — shipping modes and order priority (reference q12.slt). Adapted: no
 # l_shipmode/l_receiptdate; buckets lines by shipping delay instead, keeping
 # the CASE-sum-over-join shape.
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the 2-value
+# ship_bucket domain. (The original ORDER BY 1 is positional; the sort
+# column list names it, the pin keeps the positional spelling.)
+sql_query_final_sort(
     "tpch_q12",
     """
     SELECT
@@ -537,8 +565,9 @@ sql_query(
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1
-    ORDER BY 1
     """,
+    order_by="ship_bucket",
+    pin_order_by="1",
     duck_sql="""
     SELECT
       CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
@@ -599,10 +628,13 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(oc, F.col("c_custkey") == F.col("o_custkey"), "left")
         .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
     )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    # r13: size-gated final sort over the order-count histogram (support =
+    # distinct per-customer order counts — dozens of rows at bench SFs;
+    # above the gate the wide range sort stays).
+    return final_sort_small(
+        per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist")),
+        "custdist DESC, c_count DESC",
+        size_of=spark.table("orders"),
     )
 
 # Q14 — promo revenue share: conditional aggregation ratio over one month.
@@ -692,20 +724,23 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "total_revenue")
     )
     s = spark.table("supplier").select("s_suppkey", "s_name")
-    return (
-        s.join(F.broadcast(winners), F.expr("s_suppkey = l_suppkey"))
-        .selectExpr(
-            "s_suppkey",
-            "s_name",
-            "CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue",
-        )
-        .orderBy("s_suppkey")
+    out = s.join(F.broadcast(winners), F.expr("s_suppkey = l_suppkey")).selectExpr(
+        "s_suppkey",
+        "s_name",
+        "CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue",
     )
+    # r13: size-gated final sort. Below the gate coalesce(1) also collapses
+    # the supplier-scan probe side of the broadcast join to one task — fine
+    # for a sub-GiB input, a scan-serializer at cluster sizes, hence the
+    # same gate as the checkpoint above.
+    return final_sort_small(out, "s_suppkey", size_of=li)
 
 # Q16 — part/supplier relationship count: COUNT(DISTINCT) + NOT IN subquery.
 # (partsupp → lineitem as the part-supplier link; comment filter → negative
 # account balance.)
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the filtered part
+# attribute domain (25 brands x 150 types x the 8 listed sizes).
+sql_query_final_sort(
     "tpch_q16",
     """
     SELECT p.p_brand, p.p_type, p.p_size,
@@ -719,8 +754,9 @@ sql_query(
           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
       )
     GROUP BY p.p_brand, p.p_type, p.p_size
-    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     """,
+    order_by="supplier_cnt DESC, p_brand, p_type, p_size",
+    pin_order_by="supplier_cnt DESC, p.p_brand, p.p_type, p.p_size",
 )
 
 # Q17 — small-quantity-order revenue: correlated scalar AVG subquery.
@@ -970,7 +1006,10 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q22 — global sales opportunity: substring-derived code + uncorrelated AVG
 # subquery + NOT EXISTS anti join. (c_phone country code → custkey mod 10;
 # "no orders" → "no urgent orders" so the result is non-empty at test SFs.)
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the 10-value
+# cntrycode domain (custkey % 10). The fact inputs here are customer+orders;
+# orders is the larger, so it carries the size gate.
+sql_query_final_sort(
     "tpch_q22",
     """
     SELECT cntrycode, count(*) AS numcust, CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
@@ -986,8 +1025,9 @@ sql_query(
               )
     ) custsale
     GROUP BY cntrycode
-    ORDER BY cntrycode
     """,
+    order_by="cntrycode",
+    size_of_table="orders",
     duck_sql="""
     SELECT cntrycode, count(*) AS numcust, CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM (
