@@ -15,6 +15,8 @@ tiebreaker so top-n is deterministic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,6 +52,29 @@ from qurious_spark.queries import (
 # type SUM(DECIMAL(p,s)) would have produced, so every downstream expression
 # (ROUND, division, double cast) is unchanged. ~15 ns/row instead of ~300.
 # --------------------------------------------------------------------------- #
+
+
+# Minimum ESTIMATED input bytes before q2/q17 switch from the plain
+# decorrelated SQL to the semi-join-restricted form (r13, VERDICT r12 task
+# 5; same estimate-gated pattern as checkpoint.checkpoint_if_large). The
+# restriction is a 100 TB win — it drops ~98% of the rows feeding the
+# decorrelated MIN/AVG aggregate and the outer join — but BELOW the gate its
+# extra part scans and broadcast build cost more than they save (interleaved
+# A/B at sf0.1: q2 0.636→0.432 s, q17 0.530→0.406 s plain vs restricted).
+# Both forms are bit-equal (tests/test_moneysum.py pins each path).
+RESTRICT_BYTES_DEFAULT = 1 << 30
+
+
+def _input_is_large(df: DataFrame) -> bool:
+    """Catalyst size estimate vs SPARK_GRAFT_RESTRICT_BYTES — driver-side
+    metadata only, no job runs."""
+    thresh = int(
+        os.environ.get("SPARK_GRAFT_RESTRICT_BYTES", RESTRICT_BYTES_DEFAULT)
+    )
+    return (
+        int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        >= thresh
+    )
 
 
 def _unit_expr(x: str, s: int) -> str:
@@ -186,6 +211,12 @@ _Q2_ORACLE = """
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     li = spark.table("lineitem")
+    # r13: below the input-size gate the plain correlated-subquery SQL wins
+    # (Catalyst's decorrelated aggregate over a few MB costs less than the
+    # restriction's extra part scans — A/B in the gate-constant header);
+    # above it the r12 semi-join restriction pays for itself ~50x over.
+    if not _input_is_large(li):
+        return spark.sql(_Q2_ORACLE)
     # the semi-filtered fact frame as ONE SQL text (r12 driver-latency pass;
     # same plan and broadcast hint, bit-equality held by the existing pin)
     li_f = spark.sql(
@@ -788,6 +819,10 @@ _Q17_ORACLE = """
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     li = spark.table("lineitem")
+    # r13: same input-size gate as tpch_q2 (see RESTRICT_BYTES_DEFAULT) —
+    # plain correlated SQL below it, the r12 restriction above it.
+    if not _input_is_large(li):
+        return spark.sql(_Q17_ORACLE)
     # one broadcast semi-join restricts BOTH consumers to Brand#13 partkeys
     # (ONE SQL text — r12 driver-latency pass; same plan, pin-held)
     li_b13 = spark.sql(

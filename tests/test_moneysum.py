@@ -128,10 +128,14 @@ def test_q21_matches_original(spark):
     assert_frames_bit_equal(old_df, new_df)
 
 
-def test_q17_matches_original(spark):
+def test_q17_matches_original(spark, monkeypatch):
     """The brand-restricted q17 aggregate must reproduce the correlated-
     subquery SQL bit-for-bit (the per-partkey AVG set is unchanged because
-    p_partkey is part's key)."""
+    p_partkey is part's key). The restriction is size-gated since r13
+    (plain SQL below SPARK_GRAFT_RESTRICT_BYTES); forcing the gate to 0
+    keeps this pin on the non-trivial restricted path — the one a cluster
+    input takes."""
+    monkeypatch.setenv("SPARK_GRAFT_RESTRICT_BYTES", "0")
     import qurious_spark.queries as q
 
     q.load_all()
@@ -244,10 +248,12 @@ def test_q15_matches_original_materialized(spark, monkeypatch):
     assert_frames_bit_equal(old_df, new_df)
 
 
-def test_q2_matches_original(spark):
+def test_q2_matches_original(spark, monkeypatch):
     """The partkey-restricted q2 MIN aggregate must reproduce the
     correlated-subquery SQL row-for-row (order-insensitive — the query has
-    no ORDER BY)."""
+    no ORDER BY). Gate forced to 0 so the pin exercises the restricted
+    path (see test_q17_matches_original)."""
+    monkeypatch.setenv("SPARK_GRAFT_RESTRICT_BYTES", "0")
     import qurious_spark.queries as q
 
     q.load_all()
@@ -351,9 +357,34 @@ def test_materialized_paths_match(spark, monkeypatch):
     lineitem pass structural) but stays in the sweep to prove the env knob
     cannot perturb it."""
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_BYTES", "0")
-    test_q2_matches_original(spark)
-    test_q17_matches_original(spark)
+    test_q2_matches_original(spark, monkeypatch)
+    test_q17_matches_original(spark, monkeypatch)
     test_q21_matches_original(spark)
+
+
+def test_q2_q17_restriction_gate_switches_plans(spark, monkeypatch):
+    """r13 size gate wiring: below SPARK_GRAFT_RESTRICT_BYTES the builders
+    return the plain decorrelated SQL (ONE part scan); forcing the gate to 0
+    plans the semi-join restriction (a SECOND part scan feeding the
+    broadcast keys). Both paths' results are pinned bit-equal by
+    test_q2/q17_matches_original."""
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, SF)
+
+    def part_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("part.parquet")
+
+    monkeypatch.setenv("SPARK_GRAFT_RESTRICT_BYTES", str(1 << 40))
+    assert part_scans(q.REGISTRY["tpch_q2"](spark, SF)) == 1
+    assert part_scans(q.REGISTRY["tpch_q17"](spark, SF)) == 1
+    monkeypatch.setenv("SPARK_GRAFT_RESTRICT_BYTES", "0")
+    # the restriction adds at least one extra part scan (the broadcast key
+    # side); q2 plans a third (its semi filter feeds two consumers)
+    assert part_scans(q.REGISTRY["tpch_q2"](spark, SF)) >= 2
+    assert part_scans(q.REGISTRY["tpch_q17"](spark, SF)) >= 2
 
 
 def test_unit_sums_equal_decimal_sums_adversarial(spark):
