@@ -387,6 +387,58 @@ def test_q2_q17_restriction_gate_switches_plans(spark, monkeypatch):
     assert part_scans(q.REGISTRY["tpch_q17"](spark, SF)) >= 2
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_money_inputs_are_exact_s_decimals(spark, sf_dir):
+    """r13 (VERDICT r12 task 4): the unit-sum rewrite is exact ONLY while
+    every money input is an exact <=s-decimal value (FLOOR(x*10^s + 0.5)
+    equals CAST(x AS DECIMAL(p,s)) — the data-domain invariant the module
+    header states). Assert it ON the loaded data for every unit expression
+    the queries use, so a future testdata change with sub-cent precision
+    fails loudly here instead of silently corrupting q1/q11.
+
+    Threshold 1e-3: the double product of three exact 2-decimal factors
+    carries |error| < 1e-3 in scaled units (header proof), while a genuine
+    extra decimal digit lands at >= 0.1 scaled units.
+    """
+    import qurious_spark.queries as q
+
+    q.load_all()
+    q.ensure_views(spark, sf_dir)
+    exprs = {
+        # base columns: exact 2-decimals / integers by TESTDATA construction
+        "l_extendedprice": 100,
+        "l_discount": 100,
+        "l_tax": 100,
+        "l_quantity": 1,
+        # derived products, at the scale each query's unit expression uses
+        "l_extendedprice * (1 - l_discount)": 10000,          # q1 dp
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)": 1000000,  # q1 ch
+        "l_extendedprice * l_quantity": 10000,                # q11
+    }
+    checks = []
+    for x, scale in exprs.items():
+        checks.append(f"MAX(ABS(({x}) * {scale} - ROUND(({x}) * {scale}))) ")
+        checks.append(f"MAX(ABS(({x}) * {scale}))")
+    row = spark.sql(
+        "SELECT "
+        + ", ".join(f"{c} AS c{i}" for i, c in enumerate(checks))
+        + " FROM lineitem"
+    ).collect()[0]
+    for i, (x, scale) in enumerate(exprs.items()):
+        frac_dist, magnitude = row[2 * i], row[2 * i + 1]
+        assert frac_dist < 1e-3, (
+            f"{x} at scale {scale}: scaled values are {frac_dist} from the "
+            "integer grid — testdata no longer satisfies the <=s-decimal "
+            "invariant the q1/q11 unit sums rely on"
+        )
+        assert magnitude < 2**41, (
+            f"{x} at scale {scale}: |units| {magnitude} >= 2^41 — the "
+            "bounded-long split's headroom proof no longer holds"
+        )
+
+
 def test_unit_sums_equal_decimal_sums_adversarial(spark):
     """Synthetic frame: negatives, exact .xx5 half-points on the money grid,
     NULLs, single-row groups — the unit form must agree with the decimal
