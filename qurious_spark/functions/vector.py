@@ -69,6 +69,42 @@ def as_double_sql(vec: str) -> str:
     return f"transform({vec}, x -> CAST(x AS DOUBLE))"
 
 
+# SQL-text twins of the dim-UNROLLED forms (r13): each unrolled Column fold
+# costs ~4 py4j round trips per dimension per use — V.cosine(a, b, 64)
+# alone is ~14,600 round trips (measured on the lsh_topk rerank build, the
+# largest remaining builder hot spot after the SRP-key batching). The text
+# forms print the identical left-to-right unrolled tree (same 0-based
+# bracket indexing as Column.getItem, same cast placement) in ONE round
+# trip; bit-identical results pinned by
+# tests/test_similarity.py::test_unrolled_sql_twins.
+
+
+def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
+    terms = ["CAST(0.0 AS DOUBLE)"] + [
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def norm_sq_unrolled_sql(a: str, dim: int) -> str:
+    terms = ["CAST(0.0 AS DOUBLE)"] + [
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def l2_norm_unrolled_sql(a: str, dim: int) -> str:
+    return f"SQRT({norm_sq_unrolled_sql(a, dim)})"
+
+
+def cosine_unrolled_sql(a: str, b: str, dim: int) -> str:
+    denom = f"{l2_norm_unrolled_sql(a, dim)} * {l2_norm_unrolled_sql(b, dim)}"
+    return (
+        f"CASE WHEN {denom} > 0 THEN {dot_unrolled_sql(a, b, dim)} / ({denom}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
 def dot_sql(a: str, b: str) -> str:
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "

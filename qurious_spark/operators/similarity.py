@@ -25,6 +25,23 @@ def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn(vec_col, F.expr(V.as_double_sql(f"`{vec_col}`")))
 
 
+def _l2_norm_col(col_name: str, dim: int | None):
+    """l2 norm of a column by name: HOF fold when dim is unknown, the
+    SQL-text twin of the unrolled form when it is (r13 — the unrolled
+    Column fold costs ~4 py4j round trips per dimension per use; the text
+    parses to the identical tree in one)."""
+    if dim is None:
+        return V.l2_norm(F.col(col_name))
+    return F.expr(V.l2_norm_unrolled_sql(f"`{col_name}`", dim))
+
+
+def _cosine_col(a: str, b: str, dim: int | None):
+    """cosine(a, b) by column name — same twin policy as _l2_norm_col."""
+    if dim is None:
+        return V.cosine(F.col(a), F.col(b))
+    return F.expr(V.cosine_unrolled_sql(f"`{a}`", f"`{b}`", dim))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,18 +80,19 @@ def brute_force_topk(
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            V.l2_norm(F.col(vec_col), dim).alias("qn"),
+            _l2_norm_col(vec_col, dim).alias("qn"),
         )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            V.l2_norm(F.col(vec_col), dim).alias("cn"),
+            _l2_norm_col(vec_col, dim).alias("cn"),
         )
         denom = F.col("qn") * F.col("cn")
         sim = F.round(
-            F.when(denom > 0, V.dot(F.col("qv"), F.col("cv"), dim) / denom).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(
+                denom > 0,
+                F.expr(V.dot_unrolled_sql("`qv`", "`cv`", dim)) / denom,
+            ).otherwise(F.lit(0.0)),
             6,
         )
     # spread the O(|corpus| x |queries|) scoring across the cluster: a small
@@ -131,14 +149,19 @@ def cosine_pairs(
     a = src.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        V.l2_norm(F.col(vec_col), dim).alias("na"),
+        _l2_norm_col(vec_col, dim).alias("na"),
     )
     b = src.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        V.l2_norm(F.col(vec_col), dim).alias("nb"),
+        _l2_norm_col(vec_col, dim).alias("nb"),
     )
     denom = F.col("na") * F.col("nb")
+    dot = (
+        V.dot(F.col("va"), F.col("vb"))
+        if dim is None
+        else F.expr(V.dot_unrolled_sql("`va`", "`vb`", dim))
+    )
     # same single-input-partition hazard as ann brute-force: parallelize the
     # O(N^2) pair scoring regardless of how few partitions the source has
     par = a.sparkSession.sparkContext.defaultParallelism
@@ -149,9 +172,7 @@ def cosine_pairs(
         .withColumn(
             "sim",
             F.round(
-                F.when(
-                    denom > 0, V.dot(F.col("va"), F.col("vb"), dim) / denom
-                ).otherwise(F.lit(0.0)),
+                F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)),
                 6,
             ),
         )
@@ -271,36 +292,45 @@ def srp_planes(
     ]
 
 
-def _srp_key(vec, table_planes: list[list[float]]):
-    """Bucket key for one hash table: n_bits sign bits packed into a bigint.
+def _srp_key_sql(vec_sql: str, table_planes: list[list[float]]) -> str:
+    """Bucket key for one hash table: n_bits sign bits packed into a bigint,
+    as ONE SQL-text expression.
 
     Stays entirely in JVM expressions (zip_with/aggregate fold) — no UDF; the
     per-row cost is n_bits dot products of a small literal array.
+
+    NOTE: deliberately the HOF fold, NOT the unrolled dot — n_bits * dim
+    unrolled terms per table key explode the codegen tree (14 MB task
+    binaries, 2-minute compile); the fold keeps the plan constant-size.
+
+    r13 (driver latency, VERDICT r12 task 7): the Column-based builder spent
+    ~65 py4j round trips per plane (64 F.lit + F.array) x n_bits x n_tables
+    x both join sides — ~6,800 round trips and the single largest build in
+    the registry (measured seconds per build on a degraded host). The ±1
+    literals now print into the text (exact: 1.0/-1.0 are binary-exact
+    doubles), same fold order, bit-identical keys
+    (pin: tests/test_similarity.py::test_srp_keyed_sql_text_form).
     """
-    # NOTE: deliberately the HOF fold, NOT the unrolled dot — n_bits * dim
-    # unrolled terms per table key explode the codegen tree (14 MB task
-    # binaries, 2-minute compile); the fold keeps the plan constant-size.
-    key = F.lit(0).cast("bigint")
+    terms = ["CAST(0 AS BIGINT)"]
     for j, plane in enumerate(table_planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(V.dot(vec, lit_plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
-        key = key + bit.cast("bigint")
-    return key
+        lit = "array(" + ", ".join("1.0D" if x > 0 else "-1.0D" for x in plane) + ")"
+        terms.append(
+            f"CAST(CASE WHEN {V.dot_sql(vec_sql, lit)} >= 0 "
+            f"THEN {2 ** j} ELSE 0 END AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def _srp_keyed(df: DataFrame, id_out: str, planes, id_col: str, vec_col: str) -> DataFrame:
-    """(id, t, key) — one row per (vector, hash table), computed in one pass."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"), _srp_key(F.col(vec_col), planes[t]).alias("key")
-            )
-            for t in range(len(planes))
-        ]
+    """(id, t, key) — one row per (vector, hash table), computed in one pass.
+    Emitted as one SQL text (see _srp_key_sql)."""
+    structs = ", ".join(
+        f"named_struct('t', {t}, 'key', {_srp_key_sql(f'`{vec_col}`', planes[t])})"
+        for t in range(len(planes))
     )
-    return df.select(F.col(id_col).alias(id_out), F.explode(entries).alias("tk")).select(
-        id_out, F.col("tk.t").alias("t"), F.col("tk.key").alias("key")
-    )
+    return df.selectExpr(
+        f"`{id_col}` AS `{id_out}`", f"explode(array({structs})) AS tk"
+    ).selectExpr(f"`{id_out}`", "tk.t AS t", "tk.key AS key")
 
 
 def lsh_topk(
@@ -344,7 +374,7 @@ def lsh_topk(
             "neighbor_id",
         )
         .join(F.broadcast(q), "query_id")
-        .withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv"), dim), 6))
+        .withColumn("sim", F.round(_cosine_col("qv", "cv", dim), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -524,7 +554,7 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("bucket"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("csim", V.cosine(F.col("qv"), F.col("centroid"), dim))
+        .withColumn("csim", _cosine_col("qv", "centroid", dim))
         .withColumn("prank", F.row_number().over(probe_w))
         .filter(F.col("prank") <= nprobe)
         .select("query_id", "qv", "bucket")
@@ -537,7 +567,7 @@ def ivf_topk(
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("sim", F.round(V.cosine(F.col("qv"), F.col("cv"), dim), 6))
+        cands.withColumn("sim", F.round(_cosine_col("qv", "cv", dim), 6))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")

@@ -314,15 +314,18 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.cosine_pairs(emb, threshold=COS_THRESH, dim=64), eager=True
     )
     full = _checkpoint(duplicate_clusters(pairs), eager=True)
+    # unrolled-by-dim expressions as SQL text (r13 — ~4 py4j round trips per
+    # dimension per use in the Column form; identical tree, pin:
+    # tests/test_similarity.py::test_unrolled_sql_twins)
     probes = emb.filter(F.col("vec_id") < _PROBE).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("qv"),
-        V.l2_norm(F.col("embedding"), 64).alias("qn"),
+        F.expr(V.l2_norm_unrolled_sql("`embedding`", 64)).alias("qn"),
     )
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("nv"),
-        V.l2_norm(F.col("embedding"), 64).alias("nn"),
+        F.expr(V.l2_norm_unrolled_sql("`embedding`", 64)).alias("nn"),
     )
     denom = F.col("qn") * F.col("nn")
     # probe side broadcast: O(_PROBE * n) map-side work, no shuffle of the
@@ -333,8 +336,10 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sim",
             F.round(
-                F.when(denom > 0, V.dot(F.col("qv"), F.col("nv"), 64) / denom)
-                .otherwise(F.lit(0.0)),
+                F.when(
+                    denom > 0,
+                    F.expr(V.dot_unrolled_sql("`qv`", "`nv`", 64)) / denom,
+                ).otherwise(F.lit(0.0)),
                 6,
             ),
         )

@@ -129,3 +129,72 @@ def test_dup_clusters_entry_materializes_expensive_intermediates(spark):
     # a cluster reference re-derives the quadratic join from source
     n_scans = len(re.findall(r"embeddings", plan))
     assert n_scans <= 2, f"embeddings source re-derived {n_scans}x in: {plan[:4000]}"
+
+
+def test_srp_keyed_sql_text_form(spark, embeddings):
+    """r13 driver-latency pin: the SQL-text _srp_keyed must reproduce the
+    pre-r13 Column-based construction bit-for-bit (same ±1 literal planes,
+    same HOF fold order, same int->bigint bit packing)."""
+    from pyspark.sql import functions as F
+
+    from qurious_spark.functions import vector as V
+    from qurious_spark.operators import similarity as S
+
+    planes = S.srp_planes(dim=64, n_tables=8, n_bits=6, seed=42)
+    new_df = S._srp_keyed(embeddings, "neighbor_id", planes, "vec_id", "embedding")
+
+    # the exact pre-r13 Column composition, kept here as the reference
+    def old_key(vec, table_planes):
+        key = F.lit(0).cast("bigint")
+        for j, plane in enumerate(table_planes):
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(V.dot(vec, lit_plane) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+            key = key + bit.cast("bigint")
+        return key
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                old_key(F.col("embedding"), planes[t]).alias("key"),
+            )
+            for t in range(len(planes))
+        ]
+    )
+    old_df = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.explode(entries).alias("tk")
+    ).select("neighbor_id", F.col("tk.t").alias("t"), F.col("tk.key").alias("key"))
+
+    assert new_df.schema == old_df.schema, (new_df.schema, old_df.schema)
+    assert sorted(map(tuple, new_df.collect())) == sorted(map(tuple, old_df.collect()))
+
+
+def test_unrolled_sql_twins(spark, embeddings):
+    """r13: the SQL-text twins of the dim-unrolled dot/norm/cosine must be
+    bit-identical to the Column compositions they replace (same 0-based
+    indexing, cast placement, and left-to-right fold order)."""
+    from pyspark.sql import functions as F
+
+    from qurious_spark.functions import vector as V
+
+    dim = 64
+    col_form = embeddings.select(
+        V.dot(F.col("embedding"), F.col("embedding"), dim).alias("d"),
+        V.l2_norm(F.col("embedding"), dim).alias("n"),
+        V.cosine(F.col("embedding"), F.col("embedding"), dim).alias("c"),
+    )
+    sql_form = embeddings.select(
+        F.expr(V.dot_unrolled_sql("`embedding`", "`embedding`", dim)).alias("d"),
+        F.expr(V.l2_norm_unrolled_sql("`embedding`", dim)).alias("n"),
+        F.expr(V.cosine_unrolled_sql("`embedding`", "`embedding`", dim)).alias("c"),
+    )
+    assert col_form.schema == sql_form.schema
+    import struct
+
+    def bits(rows):
+        return [
+            tuple(struct.pack(">d", v) if isinstance(v, float) else v for v in r)
+            for r in rows
+        ]
+
+    assert bits(col_form.collect()) == bits(sql_form.collect())
