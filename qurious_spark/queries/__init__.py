@@ -249,65 +249,66 @@ def load_all() -> None:
 # registration order and stays covered every round by the local oracle gate
 # (tools/check_correctness.py) + pytest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-12 FRESHNESS rotation (VERDICT r11 task 3, pre-verified through
-    # the local gate): the two standing anchors (tpch_q1 flagship,
-    # dml_roundtrip for SURVEY §2.6), ALL 44 entries whose latest driver
-    # green is r8, and the 4 first-in-registry r9 greens to fill the 50
-    # slots. After this window lands, no entry's latest driver green is
-    # older than r9. Rotated out (all r11-green, untouched): the entire
-    # r11 window except the anchors.
+    # Round-13 FRESHNESS rotation (same policy as r10-r12, pre-verified
+    # 50/50 through the local gate at sf0.01): the two standing anchors
+    # (tpch_q1 flagship, dml_roundtrip for SURVEY §2.6), ALL 43 entries
+    # whose latest driver green is r9 (the stalest cohort after the r12
+    # window landed), and the 5 first-in-registry r10 greens to fill the
+    # 50 slots. After this window lands, no entry's latest driver green is
+    # older than r10. Rotated out (all r12-green, untouched): the r12
+    # window except the anchors.
     "tpch_q1",
     "dml_roundtrip",
-    # — 44 r8 greens (the stalest cohort), registry order —
-    "predicate_suite",
-    "scalar_suite",
-    "subquery_suite",
-    "source_csv_roundtrip",
-    "text_token_count",
-    "text_fingerprint",
-    "text_quality",
-    "text_stats_by_source",
-    "vocab_doc_freq",
-    "text_tfidf_top_terms",
-    "text_repetition",
-    "text_fuzzy_join",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_simhash_fingerprints",
-    "dedup_minhash_ml",
-    "dedup_stream_exact",
-    "vector_norms",
-    "ann_topk_bruteforce",
-    "embedding_centroids",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "embedding_semdedup",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_daily_stats",
-    "events_json_props",
-    "events_variant_props",
-    "events_stream_sliding",
-    "events_interval_overlap",
-    "events_stream_heavy_hitters",
-    "events_stream_rollup_merge",
-    "sketch_approx_distinct",
-    "sample_topk_per_source",
-    "sample_weighted_ares",
-    "pipeline_training_data",
-    "pipeline_pack_bins",
-    "pipeline_profile",
-    "pipeline_shard_counts",
-    "pipeline_quality_checks",
-    "pipeline_psi_drift",
-    # — 4 first-in-registry r9 greens (fill) —
-    "projection_arith",
-    "filter_compound",
-    "filter_null_kleene",
-    "sort_multi_key",
+    # — 43 r9 greens (the stalest cohort), registry order —
+    "limit_offset",
+    "topn_orders",
+    "distinct_pairs",
+    "select_no_from",
+    "values_inline",
+    "subquery_alias",
+    "cross_join",
+    "join_inner",
+    "join_left_outer",
+    "join_non_equi",
+    "comma_join_elimination",
+    "in_list",
+    "not_in_with_null",
+    "between_pred",
+    "like_patterns",
+    "case_searched",
+    "cast_expr",
+    "interval_arith",
+    "extract_parts",
+    "date_trunc_agg",
+    "agg_no_grouping",
+    "agg_stats",
+    "group_by_expr",
+    "cube_agg",
+    "grouping_sets",
+    "pivot_case",
+    "unpivot_stack",
+    "scalar_subquery",
+    "correlated_scalar_subquery",
+    "exists_subquery",
+    "in_subquery",
+    "union_all",
+    "intersect_keys",
+    "window_running_sum",
+    "window_qualify",
+    "source_ndjson_roundtrip",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_pairs",
+    "embedding_dup_clusters",
+    "events_asof_join",
+    "events_stream_tumbling",
+    "pipeline_mix_corpora",
+    # — 5 first-in-registry r10 greens (fill) —
+    "join_right_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "wildcard_qualified",
+    "ilike_pattern",
 )
 
 
