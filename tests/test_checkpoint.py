@@ -71,6 +71,7 @@ def test_base_dir_normalization():
     )
 
 
+@pytest.mark.slow
 def test_connected_components_reliable_mode(tmp_path):
     """End-to-end: the iterative CC operator (checkpoints every star round)
     runs correctly in reliable mode. Subprocess because one process adopts

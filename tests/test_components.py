@@ -6,6 +6,7 @@ large-star/small-star needs O(log^2 n))."""
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from qurious_spark.operators.components import (
@@ -51,6 +52,7 @@ def _check(spark, edges):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_chain_worst_case(spark):
     _check(spark, [(i, i + 1) for i in range(40)])
 
@@ -61,6 +63,7 @@ def test_two_cliques_and_bridge_free_pair(spark):
     _check(spark, clique1 + clique2 + [(100, 200)])
 
 
+@pytest.mark.slow
 def test_random_graphs_match_union_find(spark):
     rng = random.Random(7)
     for _ in range(3):

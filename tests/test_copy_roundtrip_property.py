@@ -17,6 +17,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 N_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES_STREAM", "12"))
 
@@ -44,6 +45,7 @@ def _case(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(case=_case())
 def test_copy_csv_roundtrip_preserves_strings(spark, case):
     from qurious_spark.session import Session

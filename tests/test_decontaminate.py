@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 
 from qurious_spark.operators.dedup import decontaminate
 from tests.conftest import SF_SMOKE
+import pytest
 
 
 def _docs(spark):
@@ -12,6 +13,7 @@ def _docs(spark):
     return table(spark, SF_SMOKE, "documents")
 
 
+@pytest.mark.slow
 def test_clean_plus_contaminated_partitions_train(spark):
     docs = _docs(spark)
     ev = docs.filter(F.col("doc_id") % 17 == 0)

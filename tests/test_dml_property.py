@@ -62,6 +62,7 @@ def dml_session(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.slow
 @given(ops=_ops)
 def test_dml_sequence_matches_model(dml_session, ops):
     s = dml_session

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from qurious_spark.operators.fuzzyjoin import fuzzy_join, qgrams
 
 
+@pytest.mark.slow
 def test_matches_equal_brute_force(spark):
     left = spark.createDataFrame(
         [(1, "MOZAMBIQUE"), (2, "MOZAMBIQE"), (3, "ARGENTINA"), (4, "XXXXXX")],

@@ -10,6 +10,7 @@ def media(spark):
     return synthetic_media(spark, n=32, kind="image").cache()
 
 
+@pytest.mark.slow
 def test_decode_image_features_fake(spark, media):
     from qurious_spark.operators.multimodal import decode_image_features
 

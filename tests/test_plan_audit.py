@@ -20,6 +20,7 @@ def report(spark):
     return audit_registry(spark, SF_DIR)
 
 
+@pytest.mark.slow
 def test_registry_has_no_plan_violations(report):
     assert report.info, "no queries audited"
     assert report.ok, "\n".join(
@@ -27,6 +28,7 @@ def test_registry_has_no_plan_violations(report):
     )
 
 
+@pytest.mark.slow
 def test_scans_are_column_pruned(report):
     # every parquet scan projects a narrow column subset (ReadSchema pruning);
     # lineitem/documents are 16/5 columns wide — a scan that reads everything

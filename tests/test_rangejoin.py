@@ -68,6 +68,7 @@ def test_plan_has_no_nested_loop(frames):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_interval_overlap_join_matches_brute_force(spark):
     from pyspark.sql import functions as F
 

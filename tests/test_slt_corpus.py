@@ -44,6 +44,7 @@ def test_project_slt_file(spark, slt_path):
     assert result.ok, "\n".join(result.failures)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not _files, reason="reference slt corpus not available")
 def test_reference_tpch_slt(spark, tmp_path_factory):
     """The reference's gated TPC-H slt pipeline (create_tables -> COPY ->

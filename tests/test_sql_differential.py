@@ -803,6 +803,7 @@ def _final_state(session):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(scenario=_merge_scenario())
 def test_merge_matches_reference_model(session, scenario):
     target, srows, m_arms, nm_arms = scenario
@@ -831,6 +832,7 @@ def test_merge_matches_reference_model(session, scenario):
     cond_i=st.integers(0, len(_M_CONDS) - 1),
     expr_i=st.integers(0, len(_UPD_EXPRS) - 1),
 )
+@pytest.mark.slow
 def test_update_from_matches_reference_model(session, scenario, cond_i, expr_i):
     """UPDATE ... FROM desugars to a single-arm MERGE (dialect.py); the
     extra WHERE conjunct lands in the ON condition, which for an

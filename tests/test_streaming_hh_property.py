@@ -15,6 +15,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 N_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES_STREAM", "8"))
 
@@ -39,6 +40,7 @@ def _batched_keys(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(batches=_batched_keys())
 def test_stream_heavy_hitters_guarantees(spark, batches):
     from qurious_spark.streaming.heavyhitters import stream_heavy_hitter_candidates

@@ -108,6 +108,7 @@ def _model_replay(batches, max_buckets):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(case=_batched_events())
 def test_locf_stream_matches_replay_model(spark, case):
     from qurious_spark.streaming import locf_stream

@@ -21,6 +21,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 # each example is ~4 availableNow drains (~20-30s); the default keeps the
 # [q-z] pytest half under the 10-min tool cap. Soak deeper with e.g.
@@ -106,6 +107,7 @@ def _row_key(row):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(batches=_batched_log())
 def test_scd2_stream_matches_replay_model(spark, batches):
     from qurious_spark.session import Session

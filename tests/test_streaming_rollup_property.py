@@ -14,6 +14,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 N_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES_STREAM", "8"))
 
@@ -57,6 +58,7 @@ def _model(batches):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(batches=_batched_events())
 def test_incremental_rollup_matches_batch_groupby(spark, batches):
     from qurious_spark.session import Session

@@ -89,6 +89,7 @@ _SCD_CODE = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tz", ["Asia/Kathmandu", "UTC"])
 def test_scd2_stream_close_dates_are_zone_independent(tz):
     """The batch max event time round-trips driver-side into scd2_merge's
@@ -113,6 +114,7 @@ def test_scd2_stream_close_dates_are_zone_independent(tz):
     ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tz", ["UTC", "America/New_York"])
 def test_locf_buckets_are_zone_independent(tz):
     env = dict(os.environ, SPARK_GRAFT_SESSION_TZ=tz)

@@ -144,6 +144,7 @@ def _pandas_reference(obs, step=60):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(obs=_obs())
 def test_resample_ffill_matches_pandas(spark, obs):
     base = dt.datetime(2024, 1, 1)
