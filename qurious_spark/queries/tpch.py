@@ -481,7 +481,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tests/test_moneysum.py::test_q10_matches_original, incl. a non-UTC
     # session-TZ sweep for the to_timestamp -> TIMESTAMP literal swap).
     ensure_views(spark, sf_dir)
-    return spark.sql(
+    out = spark.sql(
         """
         WITH rev AS (
             SELECT o.o_custkey,
@@ -506,8 +506,14 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM top t
         JOIN customer c ON t.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
-        ORDER BY t.revenue DESC, c.c_custkey
         """
+    )
+    # r13: size-gated final sort. The sorted frame is structurally <= 20
+    # rows (the `top` CTE's LIMIT survives the two inner joins), so even the
+    # below-gate single task is O(20); above the gate the wide range sort
+    # stays, same as every other final_sort_small site.
+    return final_sort_small(
+        out, "revenue DESC, c_custkey", size_of=spark.table("lineitem")
     )
 
 
@@ -926,7 +932,10 @@ sql_query(
 
 # Q20 — potential part promotion: nested IN subqueries with HAVING.
 # (partsupp availqty → total shipped quantity per supplier.)
-sql_query(
+# r13: final sort via final_sort_small — output bounded by the HAVING-
+# filtered supplier set (like q11/q13 it grows with the domain, so the
+# size gate, not a domain bound, keeps cluster plans wide).
+sql_query_final_sort(
     "tpch_q20",
     """
     SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
@@ -939,8 +948,9 @@ sql_query(
         GROUP BY l.l_suppkey
         HAVING SUM(l.l_quantity) > 300
     )
-    ORDER BY s.s_name
     """,
+    order_by="s_name",
+    pin_order_by="s.s_name",
 )
 
 # Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS on the same

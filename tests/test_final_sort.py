@@ -86,13 +86,13 @@ def test_final_sort_below_gate_plans_no_range_exchange(spark, monkeypatch):
 
 
 def test_df_final_sort_queries_match_orderby(spark, monkeypatch):
-    """The df-form call sites (tpch_q11/q13/q15) must match their own
+    """The df-form call sites (tpch_q10/q11/q13/q15) must match their own
     orderBy variant on both gate branches."""
     import qurious_spark.queries as q
 
     q.load_all()
     q.ensure_views(spark, SF)
-    for name in ("tpch_q11", "tpch_q13", "tpch_q15"):
+    for name in ("tpch_q10", "tpch_q11", "tpch_q13", "tpch_q15"):
         monkeypatch.setenv("SPARK_GRAFT_SORT1_BYTES", "0")
         wide = q.REGISTRY[name](spark, SF)
         monkeypatch.setenv("SPARK_GRAFT_SORT1_BYTES", str(1 << 40))
